@@ -1,0 +1,352 @@
+"""Typed configuration tree for img2latex-tpu.
+
+The reference project threads a raw YAML ``dict`` through every layer and
+re-declares defaults as ``None``-fallbacks in each constructor (reference
+``img2latex/configs/config.yaml:1-114``, ``img2latex/model/encoder.py:50-64``,
+``img2latex/model/decoder.py:48-58``).  Here the schema is a single source of
+truth: dataclasses with defaults, a YAML loader that accepts the reference's
+config files unchanged, dotted-path CLI overrides, and validation at load time
+(the reference validates lazily in ``img2latex/analysis/project.py:85-191``).
+
+TPU-specific additions live under ``hardware`` (mesh axes, dtype policy) —
+these have no reference equivalent because the reference is single-device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+# ---------------------------------------------------------------------------
+# Schema
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DataConfig:
+    """Mirrors reference ``config.yaml:4-21``."""
+
+    data_dir: str = "data"
+    train_file: str = "im2latex_train_filter.lst"
+    validate_file: str = "im2latex_validate_filter.lst"
+    test_file: str = "im2latex_test_filter.lst"
+    formulas_file: str = "im2latex_formulas.norm.lst"
+    img_dir: str = "img"
+    batch_size: int = 128
+    num_workers: int = 0
+    max_seq_length: int = 141
+    prefetch_factor: int = 2
+    log_frequency: int = 1000
+    eval_batch_size_multiplier: int = 2
+    max_eval_batch_size: int = 128
+    load_in_memory: bool = False
+    persistent_workers: bool = True
+    pin_memory: bool = False
+    # TPU addition: host-side prefetch depth of device batches.
+    device_prefetch: int = 2
+    # TPU addition: train-time augmentation (the reference ships augmentation
+    # that is dead code, dataset.py:303-318,487-494; here it works, default off).
+    augment: bool = False
+
+
+@dataclass
+class CNNEncoderConfig:
+    """Mirrors reference ``config.yaml:29-36``."""
+
+    img_height: int = 64
+    img_width: int = 800
+    channels: int = 1
+    conv_filters: List[int] = field(default_factory=lambda: [32, 64, 128])
+    kernel_size: int = 3
+    pool_size: int = 2
+    padding: str = "same"
+
+
+@dataclass
+class ResNetEncoderConfig:
+    """Mirrors reference ``config.yaml:38-43``."""
+
+    img_height: int = 64
+    img_width: int = 800
+    channels: int = 3
+    model_name: str = "resnet50"
+    freeze_backbone: bool = False
+    pretrained_path: Optional[str] = None  # converted torchvision weights (.npz)
+
+
+@dataclass
+class EncoderConfig:
+    cnn: CNNEncoderConfig = field(default_factory=CNNEncoderConfig)
+    resnet: ResNetEncoderConfig = field(default_factory=ResNetEncoderConfig)
+
+
+@dataclass
+class DecoderConfig:
+    """Mirrors reference ``config.yaml:46-50``."""
+
+    hidden_dim: int = 512
+    lstm_layers: int = 2
+    dropout: float = 0.3
+    attention: bool = True
+
+
+@dataclass
+class ModelConfig:
+    """Mirrors reference ``config.yaml:24-50``."""
+
+    name: str = "cnn_lstm"  # "cnn_lstm" | "resnet_lstm"
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    embedding_dim: int = 512
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+
+
+@dataclass
+class TrainingConfig:
+    """Mirrors reference ``config.yaml:53-63`` plus plateau-scheduler keys the
+    reference hard-codes (``trainer.py:95-97``: factor 0.5, patience 2)."""
+
+    optimizer: str = "adam"
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    epochs: int = 30
+    early_stopping_patience: int = 10
+    clip_grad_norm: float = 5.0
+    save_checkpoint_epochs: int = 5
+    save_checkpoint_steps: Optional[int] = None
+    experiment_name: str = "img2latex_v1"
+    device: str = "tpu"  # informational; JAX picks the backend
+    accumulation_steps: int = 1
+    label_smoothing: float = 0.1
+    lr_plateau_factor: float = 0.5
+    lr_plateau_patience: int = 2
+    seed: int = 42
+
+
+@dataclass
+class EvaluationConfig:
+    """Mirrors reference ``config.yaml:66-71``."""
+
+    metrics: List[str] = field(default_factory=lambda: ["loss", "accuracy", "bleu", "levenshtein"])
+    bleu_n: int = 4
+    bleu_batches: int = 10
+    enhanced_samples: int = 2
+    save_basic_metrics: bool = True
+    detailed_eval_frequency: int = 1
+
+
+@dataclass
+class InferenceConfig:
+    """Mirrors reference ``config.yaml:75-80``."""
+
+    beam_size: int = 0
+    max_length: int = 141
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 0.0
+    length_penalty: float = 0.0  # TPU addition: beam length normalization exponent
+
+
+@dataclass
+class LoggingConfig:
+    """Mirrors reference ``config.yaml:81-87``."""
+
+    level: str = "INFO"
+    log_to_file: bool = True
+    log_file: str = "train.log"
+    use_colors: bool = True
+    detailed_eval_frequency: int = 1
+
+
+@dataclass
+class AnalysisConfig:
+    """Mirrors reference ``config.yaml:90-103``."""
+
+    error_distance_ranges: List[List[Any]] = field(
+        default_factory=lambda: [[0, 0], [1, 1], [2, 3], [4, "inf"]]
+    )
+    samples_per_bucket: int = 5
+    min_edit_distance: int = 1
+    max_error_samples: int = 50
+    max_bucket_examples: int = 100
+    top_error_patterns: int = 5
+    image_stats_samples: int = 1000
+    curve_smoothing: float = 0.0
+
+
+@dataclass
+class PreprocessingConfig:
+    """Mirrors reference ``config.yaml:106-109``."""
+
+    pad_value: int = 255
+    normalization_mean: List[float] = field(default_factory=lambda: [0.485, 0.456, 0.406])
+    normalization_std: List[float] = field(default_factory=lambda: [0.229, 0.224, 0.225])
+
+
+@dataclass
+class VisualizationConfig:
+    """Mirrors reference ``config.yaml:112-114``."""
+
+    figure_size: List[int] = field(default_factory=lambda: [16, 8])
+    curve_figure_size: List[int] = field(default_factory=lambda: [10, 6])
+
+
+@dataclass
+class HardwareConfig:
+    """TPU-native settings — no reference equivalent (single-device project).
+
+    ``mesh_axes``/``mesh_shape`` describe the device mesh for pjit; ``-1`` in
+    ``mesh_shape`` means "all remaining devices".  ``compute_dtype`` is the
+    activation dtype policy (bf16 on the MXU); params stay float32.
+    """
+
+    mesh_axes: Tuple[str, ...] = ("data", "model")
+    mesh_shape: Tuple[int, ...] = (-1, 1)
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    donate_buffers: bool = True
+    profile: bool = False
+    debug_nans: bool = False
+    remat: bool = False
+    use_pallas_decode: bool = True
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    evaluation: EvaluationConfig = field(default_factory=EvaluationConfig)
+    inference: InferenceConfig = field(default_factory=InferenceConfig)
+    logging: LoggingConfig = field(default_factory=LoggingConfig)
+    analysis: AnalysisConfig = field(default_factory=AnalysisConfig)
+    preprocessing: PreprocessingConfig = field(default_factory=PreprocessingConfig)
+    visualization: VisualizationConfig = field(default_factory=VisualizationConfig)
+    hardware: HardwareConfig = field(default_factory=HardwareConfig)
+
+    # ------------------------------------------------------------------
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_yaml(self, path: str | Path) -> None:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict())
+
+    # ------------------------------------------------------------------
+    @property
+    def image_shape(self) -> Tuple[int, int, int]:
+        """(height, width, channels) for the active model type (NHWC)."""
+        enc = self.model.encoder.resnet if self.model.name == "resnet_lstm" else self.model.encoder.cnn
+        return (enc.img_height, enc.img_width, enc.channels)
+
+
+# ---------------------------------------------------------------------------
+# Loading / merging
+# ---------------------------------------------------------------------------
+
+
+def _coerce(value: Any, target_type: Any) -> Any:
+    """Best-effort coercion of YAML scalars into the annotated type."""
+    if value is None:
+        return value
+    origin = getattr(target_type, "__origin__", None)
+    if origin is tuple:
+        return tuple(value)
+    if target_type is float and isinstance(value, int):
+        return float(value)
+    return value
+
+
+def _update_dataclass(obj: Any, data: Dict[str, Any], path: str = "") -> List[str]:
+    """Recursively update ``obj`` in place from ``data``; returns unknown keys."""
+    unknown: List[str] = []
+    fields = {f.name: f for f in dataclasses.fields(obj)}
+    for key, value in (data or {}).items():
+        if key not in fields:
+            unknown.append(f"{path}{key}")
+            continue
+        current = getattr(obj, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            unknown.extend(_update_dataclass(current, value, path=f"{path}{key}."))
+        else:
+            setattr(obj, key, _coerce(value, fields[key].type))
+    return unknown
+
+
+def config_from_dict(data: Dict[str, Any], strict: bool = False) -> Config:
+    """Build a :class:`Config` from a (possibly partial) nested dict.
+
+    Unknown keys are ignored by default so that the reference's YAML files
+    (which contain keys like ``model.name: resnet_lstm`` and a stray
+    ``inference`` block in the middle of ``logging``) load unchanged.
+    """
+    cfg = Config()
+    unknown = _update_dataclass(cfg, data or {})
+    if strict and unknown:
+        raise ValueError(f"Unknown config keys: {unknown}")
+    validate_config(cfg)
+    return cfg
+
+
+def load_config(path: str | Path | None = None, overrides: Dict[str, Any] | None = None) -> Config:
+    """Load YAML config (or defaults) and apply dotted-path overrides.
+
+    Equivalent surface to reference ``cli.load_config`` (``cli.py:83-101``)
+    plus the per-command option overrides (``cli.py:130-148``), generalized to
+    any dotted key, e.g. ``{"training.learning_rate": 3e-4}``.
+    """
+    data: Dict[str, Any] = {}
+    if path is not None:
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+    cfg = config_from_dict(data)
+    for dotted, value in (overrides or {}).items():
+        if value is None:
+            continue
+        set_by_path(cfg, dotted, value)
+    validate_config(cfg)
+    return cfg
+
+
+def set_by_path(cfg: Config, dotted: str, value: Any) -> None:
+    parts = dotted.split(".")
+    obj: Any = cfg
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    leaf = parts[-1]
+    fields = {f.name: f for f in dataclasses.fields(obj)}
+    if leaf not in fields:
+        raise AttributeError(f"No config field {dotted!r}")
+    setattr(obj, leaf, _coerce(value, fields[leaf].type))
+
+
+def validate_config(cfg: Config) -> None:
+    """Schema validation at load time (reference defers this to
+    ``analysis/project.py:85-191``)."""
+    if cfg.model.name not in ("cnn_lstm", "resnet_lstm"):
+        raise ValueError(f"model.name must be cnn_lstm or resnet_lstm, got {cfg.model.name!r}")
+    if cfg.model.name == "resnet_lstm":
+        valid = ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152")
+        if cfg.model.encoder.resnet.model_name not in valid:
+            raise ValueError(
+                f"encoder.resnet.model_name must be one of {valid}, "
+                f"got {cfg.model.encoder.resnet.model_name!r}"
+            )
+    if cfg.data.max_seq_length < 3:
+        raise ValueError("data.max_seq_length must be >= 3 (START + token + END)")
+    if cfg.training.accumulation_steps < 1:
+        raise ValueError("training.accumulation_steps must be >= 1")
+    if not 0.0 <= cfg.training.label_smoothing < 1.0:
+        raise ValueError("training.label_smoothing must be in [0, 1)")
+    if cfg.inference.beam_size < 0:
+        raise ValueError("inference.beam_size must be >= 0")
+    if len(cfg.hardware.mesh_axes) != len(cfg.hardware.mesh_shape):
+        raise ValueError("hardware.mesh_axes and mesh_shape must have equal length")
