@@ -1,0 +1,257 @@
+"""Host data pipeline: dataset parsing, static-shape batching, prefetch.
+
+Capability parity with the reference's ``Im2LatexDataset`` / ``Im2LatexCollator``
+/ ``create_data_loaders`` (``img2latex/data/dataset.py:29-557``) re-designed
+for XLA:
+
+* every batch has the SAME static shape — images ``(B, H, W, C)`` uint8 NHWC,
+  formulas ``(B, max_seq_length)`` int32 — so the compiled step never
+  recompiles (the reference pads formulas to the per-batch max, which would
+  retrace XLA every batch);
+* short final batches are padded to ``B`` and carry ``n_valid`` so eval code
+  can mask them out (the reference drops or ragged-batches);
+* image decode/geometry runs in a thread pool (PIL releases the GIL) with a
+  background prefetcher, replacing torch ``DataLoader`` worker processes;
+* normalization intentionally does NOT happen here — batches stay uint8 and
+  are normalized on device (``img2latex_tpu.ops.preprocess``).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from img2latex_tpu.config import Config
+from img2latex_tpu.data.tokenizer import LaTeXTokenizer
+from img2latex_tpu.data.transforms import load_image_u8
+from img2latex_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def read_formulas(path: str) -> List[str]:
+    with open(path, encoding="utf-8", errors="replace") as f:
+        return [line.rstrip("\n") for line in f]
+
+
+def parse_split_file(path: str, n_formulas: int) -> List[Tuple[str, int]]:
+    """Parse ``<image> <formula_idx>`` lines, skipping malformed/out-of-range
+    entries with a logged count (reference ``dataset.py:220-274``)."""
+    pairs: List[Tuple[str, int]] = []
+    skipped = 0
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) != 2:
+                if line.strip():
+                    skipped += 1
+                continue
+            name, idx_s = parts
+            try:
+                idx = int(idx_s)
+            except ValueError:
+                # Some IM2LaTeX variants use "<idx> <image>" order.
+                try:
+                    idx = int(name)
+                    name = idx_s
+                except ValueError:
+                    skipped += 1
+                    continue
+            if not 0 <= idx < n_formulas:
+                skipped += 1
+                continue
+            pairs.append((name, idx))
+    if skipped:
+        logger.warning("Skipped %d malformed/out-of-range lines in %s", skipped, path)
+    return pairs
+
+
+class Im2LatexDataset:
+    """Map-style dataset over an IM2LaTeX split (host side, uint8 output)."""
+
+    def __init__(
+        self,
+        split_file: str,
+        formulas: Sequence[str],
+        img_dir: str,
+        tokenizer: LaTeXTokenizer,
+        img_size: Tuple[int, int] = (64, 800),
+        channels: int = 1,
+        pad_value: int = 255,
+        load_in_memory: bool = False,
+    ):
+        self.samples = parse_split_file(split_file, len(formulas))
+        self.formulas = formulas
+        self.img_dir = img_dir
+        self.tokenizer = tokenizer
+        self.img_size = img_size
+        self.channels = channels
+        self.pad_value = pad_value
+        self._cache: Optional[List[np.ndarray]] = None
+        if load_in_memory:
+            self._cache = [self._load_image(i) for i in range(len(self.samples))]
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def _load_image(self, i: int) -> np.ndarray:
+        name, _ = self.samples[i]
+        path = os.path.join(self.img_dir, name)
+        if not os.path.exists(path) and not os.path.splitext(name)[1]:
+            path = path + ".png"
+        if not os.path.exists(path):
+            logger.warning("Image not found: %s (zero canvas substituted)", path)
+            return np.zeros((self.img_size[0], self.img_size[1], self.channels), dtype=np.uint8)
+        return load_image_u8(path, self.img_size, self.channels, self.pad_value)
+
+    def image(self, i: int) -> np.ndarray:
+        if self._cache is not None:
+            return self._cache[i]
+        return self._load_image(i)
+
+    def token_ids(self, i: int) -> np.ndarray:
+        """``<START> formula <END>`` padded/truncated to max_seq_length."""
+        _, fidx = self.samples[i]
+        ids = self.tokenizer.encode(self.formulas[fidx], add_special_tokens=True)
+        L = self.tokenizer.max_sequence_length
+        out = np.full((L,), self.tokenizer.pad_token_id, dtype=np.int32)
+        ids = ids[:L]
+        out[: len(ids)] = ids
+        return out
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        return self.image(i), self.token_ids(i)
+
+
+class BatchLoader:
+    """Static-shape batch iterator with threaded decode + background prefetch."""
+
+    def __init__(
+        self,
+        dataset: Im2LatexDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        num_threads: int = 8,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_threads = max(1, num_threads)
+        self.prefetch = max(1, prefetch)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def _make_batch(self, pool: ThreadPoolExecutor, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        B = self.batch_size
+        h, w = self.dataset.img_size
+        c = self.dataset.channels
+        L = self.dataset.tokenizer.max_sequence_length
+        images = np.zeros((B, h, w, c), dtype=np.uint8)
+        formulas = np.zeros((B, L), dtype=np.int32)
+        loaded = list(pool.map(self.dataset.__getitem__, indices.tolist()))
+        for j, (img, ids) in enumerate(loaded):
+            images[j] = img
+            formulas[j] = ids
+        return {
+            "images": images,
+            "formulas": formulas,
+            "n_valid": np.int32(len(indices)),
+        }
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._order()
+        n = len(order)
+        starts = range(0, n - self.batch_size + 1, self.batch_size) if self.drop_last else range(0, n, self.batch_size)
+        chunks = [order[s : s + self.batch_size] for s in starts]
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+                try:
+                    for chunk in chunks:
+                        out_q.put(self._make_batch(pool, chunk))
+                finally:
+                    out_q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = out_q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+
+
+def create_data_loaders(
+    cfg: Config, tokenizer: LaTeXTokenizer, splits: Sequence[str] = ("train", "validate", "test")
+) -> Dict[str, BatchLoader]:
+    """Build loaders from config (reference ``dataset.py:367-557`` surface).
+
+    Image size/channels follow the active model type; eval batch size =
+    ``min(batch_size * eval_batch_size_multiplier, max_eval_batch_size)``
+    (reference ``dataset.py:527-539``).
+    """
+    h, w, c = cfg.image_shape
+    data_dir = cfg.data.data_dir
+    formulas = read_formulas(os.path.join(data_dir, cfg.data.formulas_file))
+    img_dir = os.path.join(data_dir, cfg.data.img_dir)
+    split_files = {
+        "train": cfg.data.train_file,
+        "validate": cfg.data.validate_file,
+        "test": cfg.data.test_file,
+    }
+    eval_bs = min(
+        cfg.data.batch_size * cfg.data.eval_batch_size_multiplier,
+        cfg.data.max_eval_batch_size,
+    )
+    loaders: Dict[str, BatchLoader] = {}
+    for split in splits:
+        ds = Im2LatexDataset(
+            split_file=os.path.join(data_dir, split_files[split]),
+            formulas=formulas,
+            img_dir=img_dir,
+            tokenizer=tokenizer,
+            img_size=(h, w),
+            channels=c,
+            pad_value=cfg.preprocessing.pad_value,
+            load_in_memory=cfg.data.load_in_memory,
+        )
+        is_train = split == "train"
+        loaders[split] = BatchLoader(
+            ds,
+            batch_size=cfg.data.batch_size if is_train else eval_bs,
+            shuffle=is_train,
+            drop_last=is_train,
+            seed=cfg.training.seed,
+            num_threads=max(cfg.data.num_workers, 4),
+            prefetch=cfg.data.device_prefetch,
+        )
+    return loaders

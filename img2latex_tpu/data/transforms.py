@@ -1,0 +1,101 @@
+"""Host-side image geometry: aspect-preserving resize to a fixed canvas.
+
+Pixel-exact port of the reference transform semantics
+(``img2latex/data/transforms.py:9-56``): LANCZOS resize to target height with
+``round()`` width, then right-pad with white (``pad_value``) or center-crop to
+the target width.  Geometry runs on host (PIL) because it is per-image and
+data-dependent; *normalization* is deliberately NOT done here — it runs
+on-device as XLA ops fused into the jitted step (see
+``img2latex_tpu.ops.preprocess``), so the host->device transfer is uint8
+(4-8x smaller than float32).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+from PIL import Image
+
+try:  # Pillow >= 9.1
+    _LANCZOS = Image.Resampling.LANCZOS
+except AttributeError:  # pragma: no cover - older Pillow
+    _LANCZOS = Image.LANCZOS
+
+
+def resize_with_aspect_ratio(
+    img: Image.Image, target_height: int, target_width: int, pad_value: int = 255
+) -> Image.Image:
+    """Resize to ``target_height`` preserving aspect ratio, then right-pad
+    (white) or center-crop to ``target_width``."""
+    width, height = img.size
+    if height == 0:
+        return Image.new(img.mode, (target_width, target_height), pad_value)
+    new_width = int(round(target_height * (width / height)))
+    img_resized = img.resize((new_width, target_height), _LANCZOS)
+    if new_width == target_width:
+        return img_resized
+    if new_width < target_width:
+        padded = Image.new(img.mode, (target_width, target_height), pad_value)
+        padded.paste(img_resized, (0, 0))
+        return padded
+    left = (new_width - target_width) // 2
+    return img_resized.crop((left, 0, left + target_width, target_height))
+
+
+class ResizeWithAspectRatio:
+    """Callable/picklable wrapper (same interface as the reference class)."""
+
+    def __init__(self, target_height: int, target_width: int, pad_value: int = 255):
+        self.target_height = target_height
+        self.target_width = target_width
+        self.pad_value = pad_value
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        return resize_with_aspect_ratio(img, self.target_height, self.target_width, self.pad_value)
+
+
+def load_image_u8(
+    image_path: str,
+    img_size: Tuple[int, int] = (64, 800),
+    channels: int = 1,
+    pad_value: int = 255,
+) -> np.ndarray:
+    """Load + geometry-only preprocess to a uint8 NHWC canvas.
+
+    Mirrors the decode/convert/resize part of reference ``data/utils.py:18-66``
+    but stops before normalization (done on device) and returns HWC uint8.
+    On error, returns a zero canvas (reference parity, ``data/utils.py:84-90``).
+    """
+    try:
+        img = Image.open(image_path)
+        if channels == 1 and img.mode != "L":
+            img = img.convert("L")
+        elif channels == 3 and img.mode != "RGB":
+            img = img.convert("RGB")
+        target_height, target_width = img_size
+        img = resize_with_aspect_ratio(img, target_height, target_width, pad_value)
+        arr = np.asarray(img, dtype=np.uint8)
+        if channels == 1:
+            arr = arr[:, :, None]
+        return arr
+    except FileNotFoundError:
+        raise
+    except Exception:
+        return np.zeros((img_size[0], img_size[1], channels), dtype=np.uint8)
+
+
+def array_to_canvas_u8(
+    arr: np.ndarray, target_height: int, target_width: int, pad_value: int = 255
+) -> np.ndarray:
+    """Same geometry for an in-memory uint8 array (HW or HWC), via PIL."""
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        img = Image.fromarray(arr[:, :, 0], mode="L")
+        out = resize_with_aspect_ratio(img, target_height, target_width, pad_value)
+        return np.asarray(out, dtype=np.uint8)[:, :, None]
+    img = Image.fromarray(arr)
+    out = resize_with_aspect_ratio(img, target_height, target_width, pad_value)
+    res = np.asarray(out, dtype=np.uint8)
+    if res.ndim == 2:
+        res = res[:, :, None]
+    return res

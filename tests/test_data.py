@@ -1,0 +1,217 @@
+import numpy as np
+import pytest
+from PIL import Image
+
+from img2latex_tpu.config import Config
+from img2latex_tpu.data.pipeline import (
+    BatchLoader,
+    Im2LatexDataset,
+    create_data_loaders,
+    parse_split_file,
+    read_formulas,
+)
+from img2latex_tpu.data.synthetic import (
+    render_formula_image,
+    synthetic_batch,
+    token_glyph,
+    write_synthetic_corpus,
+)
+from img2latex_tpu.data.tokenizer import LaTeXTokenizer
+from img2latex_tpu.data.transforms import load_image_u8, resize_with_aspect_ratio
+
+
+class TestTransforms:
+    def test_resize_exact_height_pad_width(self):
+        img = Image.new("L", (100, 50), 0)  # black, aspect 2:1
+        out = resize_with_aspect_ratio(img, 64, 800)
+        assert out.size == (800, 64)
+        arr = np.asarray(out)
+        # resized content occupies round(64*2)=128 px; right side is white pad
+        assert arr[:, 200:].min() == 255
+        assert arr[:, :100].max() < 255
+
+    def test_resize_center_crop_when_wide(self):
+        img = Image.new("L", (4000, 50), 0)
+        out = resize_with_aspect_ratio(img, 64, 800)
+        assert out.size == (800, 64)
+        assert np.asarray(out).max() == 0  # fully content, cropped
+
+    def test_matches_reference_transform(self):
+        """Pixel-exact parity with the reference ResizeWithAspectRatio."""
+        import importlib.util
+        import sys
+        import types
+
+        # The reference module imports torchvision but never uses it in the
+        # transform class; stub it (torchvision is not installed here).
+        if "torchvision" not in sys.modules:
+            tv = types.ModuleType("torchvision")
+            tv_t = types.ModuleType("torchvision.transforms")
+            tv_f = types.ModuleType("torchvision.transforms.functional")
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.transforms"] = tv_t
+            sys.modules["torchvision.transforms.functional"] = tv_f
+        spec = importlib.util.spec_from_file_location(
+            "ref_transforms", "/root/reference/img2latex/data/transforms.py"
+        )
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+        rng = np.random.default_rng(3)
+        for _ in range(5):
+            w, h = int(rng.integers(20, 1200)), int(rng.integers(10, 200))
+            arr = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            img = Image.fromarray(arr, mode="L")
+            ours = np.asarray(resize_with_aspect_ratio(img, 64, 320))
+            theirs = np.asarray(ref.ResizeWithAspectRatio(64, 320)(img))
+            np.testing.assert_array_equal(ours, theirs)
+
+    def test_load_image_u8(self, tmp_path):
+        p = tmp_path / "x.png"
+        Image.fromarray(np.full((40, 90), 128, np.uint8), mode="L").save(p)
+        arr = load_image_u8(str(p), (64, 800), channels=1)
+        assert arr.shape == (64, 800, 1) and arr.dtype == np.uint8
+        rgb = load_image_u8(str(p), (64, 800), channels=3)
+        assert rgb.shape == (64, 800, 3)
+
+    def test_load_image_error_returns_zero_canvas(self, tmp_path):
+        p = tmp_path / "bad.png"
+        p.write_bytes(b"not a png")
+        arr = load_image_u8(str(p), (32, 100), channels=1)
+        assert arr.shape == (32, 100, 1) and arr.max() == 0
+
+
+class TestDevicePreprocess:
+    def test_normalize_gray(self):
+        import jax.numpy as jnp
+
+        from img2latex_tpu.ops.preprocess import normalize_images
+
+        x = jnp.array([[[[0], [255]]]], dtype=jnp.uint8)
+        out = normalize_images(x)
+        np.testing.assert_allclose(np.asarray(out), [[[[-1.0], [1.0]]]], atol=1e-6)
+
+    def test_normalize_rgb_matches_reference_math(self):
+        import jax.numpy as jnp
+
+        from img2latex_tpu.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD, normalize_images
+
+        rng = np.random.default_rng(0)
+        x = rng.integers(0, 256, size=(2, 4, 5, 3), dtype=np.uint8)
+        out = np.asarray(normalize_images(jnp.array(x)))
+        expected = (x / 255.0 - np.array(IMAGENET_MEAN)) / np.array(IMAGENET_STD)
+        np.testing.assert_allclose(out, expected, atol=1e-5)
+
+    def test_gray_to_rgb(self):
+        import jax.numpy as jnp
+
+        from img2latex_tpu.ops.preprocess import grayscale_to_rgb
+
+        x = jnp.ones((2, 4, 4, 1))
+        assert grayscale_to_rgb(x).shape == (2, 4, 4, 3)
+
+
+class TestSynthetic:
+    def test_glyph_deterministic_distinct(self):
+        np.testing.assert_array_equal(token_glyph(5), token_glyph(5))
+        assert not np.array_equal(token_glyph(5), token_glyph(6))
+
+    def test_render(self):
+        img = render_formula_image([1, 2, 3], img_height=32)
+        assert img.ndim == 2 and img.shape[0] == 32 and img.dtype == np.uint8
+
+    def test_synthetic_batch_shapes(self):
+        images, formulas = synthetic_batch(4, (32, 128, 1), 16, vocab_size=20)
+        assert images.shape == (4, 32, 128, 1)
+        assert formulas.shape == (4, 16)
+        assert (formulas[:, 0] == 1).all()  # START
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    return write_synthetic_corpus(str(root), n_train=12, n_val=6, n_test=6, seed=1)
+
+
+class TestPipeline:
+    def test_corpus_layout(self, corpus):
+        import os
+
+        assert os.path.exists(os.path.join(corpus, "im2latex_train_filter.lst"))
+        formulas = read_formulas(os.path.join(corpus, "im2latex_formulas.norm.lst"))
+        assert len(formulas) == 24
+        pairs = parse_split_file(os.path.join(corpus, "im2latex_train_filter.lst"), len(formulas))
+        assert len(pairs) == 12
+
+    def test_parse_skips_malformed(self, tmp_path):
+        p = tmp_path / "bad.lst"
+        p.write_text("img1.png 0\nmalformed\nimg2.png 999\nimg3.png notanint x\n")
+        pairs = parse_split_file(str(p), 5)
+        assert pairs == [("img1.png", 0)]
+
+    def test_dataset_and_loader(self, corpus):
+        import os
+
+        formulas = read_formulas(os.path.join(corpus, "im2latex_formulas.norm.lst"))
+        tok = LaTeXTokenizer(max_sequence_length=20)
+        tok.fit(formulas)
+        ds = Im2LatexDataset(
+            os.path.join(corpus, "im2latex_train_filter.lst"),
+            formulas,
+            os.path.join(corpus, "img"),
+            tok,
+            img_size=(32, 128),
+            channels=1,
+        )
+        assert len(ds) == 12
+        img, ids = ds[0]
+        assert img.shape == (32, 128, 1) and img.dtype == np.uint8
+        assert ids.shape == (20,) and ids[0] == tok.start_token_id
+
+        loader = BatchLoader(ds, batch_size=5, shuffle=True, drop_last=False, seed=0)
+        batches = list(loader)
+        assert len(batches) == 3
+        for b in batches:
+            assert b["images"].shape == (5, 32, 128, 1)  # static even when short
+            assert b["formulas"].shape == (5, 20)
+        assert int(batches[-1]["n_valid"]) == 2
+
+    def test_loader_drop_last_and_shuffle_determinism(self, corpus):
+        import os
+
+        formulas = read_formulas(os.path.join(corpus, "im2latex_formulas.norm.lst"))
+        tok = LaTeXTokenizer(max_sequence_length=20)
+        tok.fit(formulas)
+        ds = Im2LatexDataset(
+            os.path.join(corpus, "im2latex_train_filter.lst"),
+            formulas,
+            os.path.join(corpus, "img"),
+            tok,
+            img_size=(32, 128),
+            channels=1,
+        )
+        loader = BatchLoader(ds, batch_size=5, shuffle=True, drop_last=True, seed=7)
+        a = [b["formulas"].copy() for b in loader]
+        b = [b["formulas"].copy() for b in loader]
+        assert len(a) == 2
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)  # same epoch -> same order
+        loader.set_epoch(1)
+        c = [bb["formulas"].copy() for bb in loader]
+        assert any(not np.array_equal(x, y) for x, y in zip(a, c))
+
+    def test_create_data_loaders(self, corpus):
+        cfg = Config()
+        cfg.data.data_dir = corpus
+        cfg.data.batch_size = 4
+        cfg.data.max_seq_length = 20
+        cfg.model.encoder.cnn.img_height = 32
+        cfg.model.encoder.cnn.img_width = 128
+        tok = LaTeXTokenizer(max_sequence_length=20)
+        tok.fit(read_formulas(f"{corpus}/im2latex_formulas.norm.lst"))
+        loaders = create_data_loaders(cfg, tok)
+        assert set(loaders) == {"train", "validate", "test"}
+        batch = next(iter(loaders["train"]))
+        assert batch["images"].shape == (4, 32, 128, 1)
+        # eval batch = min(4*2, 128) = 8
+        vb = next(iter(loaders["validate"]))
+        assert vb["images"].shape[0] == 8
