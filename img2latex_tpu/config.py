@@ -103,6 +103,10 @@ class ModelConfig:
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     embedding_dim: int = 512
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    # TPU addition: "vector" pools the encoder to one embedding (reference
+    # parity; attention degenerates to a constant); "grid" keeps a feature
+    # grid as attention memory — the non-degenerate generalization.
+    memory: str = "vector"
 
 
 @dataclass

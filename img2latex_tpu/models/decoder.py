@@ -1,0 +1,193 @@
+"""LSTM decoder with additive attention — scan-based, fully on-device.
+
+Capability parity with reference ``img2latex/model/decoder.py:16-343``, built
+TPU-first:
+
+* Teacher forcing over a length-1 memory (the reference's only real case —
+  its encoder pools to a single vector, so attention is a constant,
+  ``decoder.py:176``) takes the **fast path**: the context is broadcast and
+  the whole sequence runs through the hoisted-matmul :class:`StackedLSTM` in
+  one pass — no per-step Python loop (the reference's hottest loop,
+  ``decoder.py:164-193``).
+* A real feature-grid memory (S > 1) runs per-step additive attention inside
+  an ``nn.scan`` — compiled recurrence, not Python.
+* :meth:`LSTMDecoder.decode_step` is the single-token step consumed by the
+  greedy/beam/sampling decode loops (parity: ``decoder.py:197-284``).
+
+Attention parameters match the reference exactly: ``attn: Dense(H+E -> H)``,
+``v: Dense(H -> 1, no bias)`` (``decoder.py:309-310``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from img2latex_tpu.models.lstm import Carry, StackedLSTM
+
+
+class AdditiveAttention(nn.Module):
+    """Bahdanau-style: softmax_s(v . tanh(W [h; m_s])) weighted sum of memory."""
+
+    hidden_dim: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, memory: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """h: (B, H) decoder state; memory: (B, S, E) -> (context (B, E), weights (B, S))."""
+        S = memory.shape[1]
+        h_rep = jnp.broadcast_to(h[:, None, :], (h.shape[0], S, h.shape[-1]))
+        energy = jnp.tanh(
+            nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="attn")(
+                jnp.concatenate([h_rep, memory.astype(self.dtype)], axis=-1)
+            )
+        )
+        scores = nn.Dense(
+            1, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name="v"
+        )(energy)[..., 0]
+        weights = nn.softmax(scores, axis=-1)
+        context = jnp.einsum("bs,bse->be", weights, memory.astype(self.dtype))
+        return context, weights
+
+
+class DecoderCell(nn.Module):
+    """One decode timestep: embed -> attend -> LSTM step -> vocab projection."""
+
+    vocab_size: int
+    embedding_dim: int
+    hidden_dim: int
+    lstm_layers: int = 1
+    dropout: float = 0.0
+    use_attention: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def setup(self):
+        self.embedding = nn.Embed(
+            self.vocab_size, self.embedding_dim, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+        self.lstm = StackedLSTM(
+            input_dim=2 * self.embedding_dim,
+            hidden_dim=self.hidden_dim,
+            num_layers=self.lstm_layers,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        if self.use_attention:
+            self.attention = AdditiveAttention(
+                self.hidden_dim, dtype=self.dtype, param_dtype=self.param_dtype
+            )
+        self.out = nn.Dense(self.vocab_size, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.drop = nn.Dropout(rate=self.dropout)
+
+    def __call__(
+        self,
+        carry: Carry,
+        token: jnp.ndarray,
+        memory: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> Tuple[Carry, jnp.ndarray]:
+        """token: (B,) int32 -> (new_carry, logits (B, V))."""
+        emb = self.embedding(token)
+        emb = self.drop(emb, deterministic=deterministic)
+        if self.use_attention and memory.shape[1] > 1:
+            h_top = carry[0][-1]
+            context, _ = self.attention(h_top, memory)
+        else:
+            # Length-1 memory: softmax over a singleton is identically 1, so
+            # the context IS the encoder embedding (reference decoder.py:176).
+            context = memory[:, 0, :].astype(self.dtype)
+        x = jnp.concatenate([emb, context], axis=-1)
+        y, new_carry = self.lstm.step(x, carry, deterministic=deterministic)
+        y = self.drop(y, deterministic=deterministic)
+        logits = self.out(y)
+        return new_carry, logits
+
+
+def _scan_cell(cell: DecoderCell, carry: Carry, token_t: jnp.ndarray, memory, deterministic):
+    return cell(carry, token_t, memory, deterministic)
+
+
+class LSTMDecoder(nn.Module):
+    """Full decoder: teacher-forced sequences and single-step decode."""
+
+    vocab_size: int
+    embedding_dim: int = 512
+    hidden_dim: int = 512
+    lstm_layers: int = 1
+    dropout: float = 0.0
+    use_attention: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def setup(self):
+        self.cell = DecoderCell(
+            vocab_size=self.vocab_size,
+            embedding_dim=self.embedding_dim,
+            hidden_dim=self.hidden_dim,
+            lstm_layers=self.lstm_layers,
+            dropout=self.dropout,
+            use_attention=self.use_attention,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+
+    # ------------------------------------------------------------------
+    def init_carry(self, batch_size: int) -> Carry:
+        shape = (self.lstm_layers, batch_size, self.hidden_dim)
+        return (jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype))
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        memory: jnp.ndarray,
+        target_sequence: jnp.ndarray,
+        carry: Optional[Carry] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """memory: (B, S, E); target_sequence: (B, T) input tokens.
+
+        Returns logits (B, T, V).
+        """
+        B, T = target_sequence.shape
+        if carry is None:
+            carry = self.init_carry(B)
+
+        if not self.use_attention or memory.shape[1] == 1:
+            # Fast path: context is the (constant) pooled embedding; the whole
+            # sequence goes through the LSTM with hoisted input projections.
+            emb = self.cell.embedding(target_sequence)  # (B, T, E)
+            emb = self.cell.drop(emb, deterministic=deterministic)
+            context = jnp.broadcast_to(
+                memory[:, 0:1, :].astype(self.dtype), (B, T, self.embedding_dim)
+            )
+            inputs = jnp.concatenate([emb, context], axis=-1)  # (B, T, 2E)
+            ys, _ = self.cell.lstm(inputs, carry, deterministic=deterministic)
+            ys = self.cell.drop(ys, deterministic=deterministic)
+            return self.cell.out(ys)
+
+        # Grid memory: per-step attention inside a compiled scan over time.
+        scan = nn.scan(
+            _scan_cell,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=(1, nn.broadcast, nn.broadcast),  # scan tokens over time;
+            out_axes=1,  # memory + deterministic flag broadcast
+        )
+        _, logits = scan(self.cell, carry, target_sequence, memory, deterministic)
+        return logits
+
+    # ------------------------------------------------------------------
+    def decode_step(
+        self,
+        memory: jnp.ndarray,
+        token: jnp.ndarray,
+        carry: Carry,
+    ) -> Tuple[jnp.ndarray, Carry]:
+        """Single inference step.  token: (B,) -> (logits (B, V), new_carry)."""
+        new_carry, logits = self.cell(carry, token, memory, deterministic=True)
+        return logits, new_carry

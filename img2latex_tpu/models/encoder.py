@@ -1,0 +1,95 @@
+"""Image encoders: 3-block CNN and a flax ResNet head.
+
+Capability parity with reference ``img2latex/model/encoder.py``:
+
+* :class:`CNNEncoder` — conv(k=3, same) + ReLU + maxpool(2) per filter size,
+  flatten, Dense -> ReLU, emitting a single (B, E) embedding
+  (``encoder.py:16-129``).  NHWC layout (TPU-native); flatten order therefore
+  differs from torch's NCHW — the torchvision weight converter permutes the
+  Dense kernel accordingly.
+* :class:`ResNetEncoder` — ResNet-18/34/50/101/152 backbone (see
+  ``img2latex_tpu.models.resnet``) + global average pool + Dense -> ReLU
+  (``encoder.py:132-249``).  Freezing is an optimizer concern in JAX
+  (``img2latex_tpu.training.optim.freeze_mask``), not a module flag.
+
+Both encoders optionally emit a **feature grid** ``(B, S, E)`` instead of a
+pooled vector — the natural generalization that makes the decoder's attention
+non-degenerate (the reference always pools to one vector, making attention a
+constant, ``decoder.py:176,271``).  Default is ``"vector"`` for parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from img2latex_tpu.models.resnet import ResNetBackbone
+
+
+class CNNEncoder(nn.Module):
+    conv_filters: Sequence[int] = (32, 64, 128)
+    kernel_size: int = 3
+    pool_size: int = 2
+    embedding_dim: int = 512
+    output: str = "vector"  # "vector" | "grid"
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, H, W, C) float -> (B, E) or (B, S, E) when output="grid"."""
+        x = x.astype(self.dtype)
+        for filters in self.conv_filters:
+            x = nn.Conv(
+                features=filters,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                padding="SAME",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(x)
+            x = nn.relu(x)
+            x = nn.max_pool(
+                x,
+                window_shape=(self.pool_size, self.pool_size),
+                strides=(self.pool_size, self.pool_size),
+            )
+        if self.output == "grid":
+            B, H, W, C = x.shape
+            # Column-major grid: each of the W' columns becomes a memory slot
+            # (reading order of a formula); features = H' x C per column.
+            x = jnp.transpose(x, (0, 2, 1, 3)).reshape(B, W, H * C)
+            x = nn.Dense(self.embedding_dim, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+            return nn.relu(x)
+        B = x.shape[0]
+        x = x.reshape(B, -1)
+        x = nn.Dense(self.embedding_dim, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        return nn.relu(x)
+
+
+class ResNetEncoder(nn.Module):
+    model_name: str = "resnet50"
+    embedding_dim: int = 512
+    output: str = "vector"
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """x: (B, H, W, 3) float -> (B, E) or (B, S, E)."""
+        feats = ResNetBackbone(
+            model_name=self.model_name,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="backbone",
+        )(x, train=train)  # (B, H', W', F)
+        if self.output == "grid":
+            B, H, W, F = feats.shape
+            grid = jnp.transpose(feats, (0, 2, 1, 3)).reshape(B, W, H * F)
+            grid = nn.Dense(self.embedding_dim, dtype=self.dtype, param_dtype=self.param_dtype)(grid)
+            return nn.relu(grid)
+        # Global average pool == torch AdaptiveAvgPool2d(1) before the head.
+        pooled = jnp.mean(feats, axis=(1, 2))
+        out = nn.Dense(self.embedding_dim, dtype=self.dtype, param_dtype=self.param_dtype)(pooled)
+        return nn.relu(out)
