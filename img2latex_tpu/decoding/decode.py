@@ -1,0 +1,263 @@
+"""Fully on-device autoregressive decoding: greedy, sampling, beam.
+
+The reference decodes with host-side Python loops — a per-token
+``decode_step`` round-trip for greedy/sampling (``training/predictor.py:251-361``,
+``model/seq2seq.py:192-232``) and a B=1 dict-based beam search that the CLI
+clamps off entirely (``predictor.py:163-167``).  Here every strategy is a
+single ``lax.scan`` over ``max_length`` steps compiled into one XLA program:
+no host round-trips, batched over B (and B*K beams), shardable with pjit.
+
+Semantics parity (verified against numpy oracles in ``tests/test_decoding.py``):
+
+* greedy == argmax of (logits / temperature); temperature alone never turns
+  on sampling (reference gate ``predictor.py:330-335``);
+* sampling activates when ``top_k > 0`` or ``top_p > 0``: probs are computed,
+  top-k filtered (drop probs below the k-th largest), then nucleus-filtered
+  (drop tokens beyond cumulative ``top_p``, always keeping the best), then
+  renormalized and sampled (reference ``predictor.py:294-335``);
+* finished sequences (emitted END) produce PAD forever after — equivalent to
+  the reference's trim-at-first-END post-processing;
+* beam search: fixed width K, log-prob accumulation, END-absorbing beams
+  (their score frozen, they emit PAD), flat top-k over K*V, best-scoring beam
+  returned (optional length normalization ``score / len^alpha``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# step_fn(tokens (N,), carry) -> (logits (N, V), new_carry)
+StepFn = Callable[[jnp.ndarray, object], Tuple[jnp.ndarray, object]]
+
+
+@dataclass(frozen=True)
+class DecodeConfig:
+    """Static decode settings (hashable -> usable as a jit static arg)."""
+
+    max_length: int = 141
+    start_id: int = 1
+    end_id: int = 2
+    pad_id: int = 0
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 0.0
+    beam_size: int = 0
+    length_penalty: float = 0.0
+
+    @property
+    def sampling(self) -> bool:
+        # Reference gate: multinomial only when top-k or top-p filtering is on
+        # (predictor.py:330-335); plain temperature still argmaxes.
+        return self.temperature > 0 and (self.top_k > 0 or self.top_p > 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Logit filtering (shared by sampling paths)
+# ---------------------------------------------------------------------------
+
+
+def filter_top_k(probs: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Zero out probs strictly below the k-th largest (reference
+    ``predictor.py:299-309``); no renormalization here."""
+    k = min(k, probs.shape[-1])
+    kth = jax.lax.top_k(probs, k)[0][..., -1:]
+    return jnp.where(probs < kth, 0.0, probs)
+
+
+def filter_top_p(probs: jnp.ndarray, p: float) -> jnp.ndarray:
+    """Nucleus filter: keep the smallest prefix of descending-prob tokens with
+    cumulative probability <= p, always keeping the most probable token
+    (reference ``predictor.py:311-327``)."""
+    sort_idx = jnp.argsort(-probs, axis=-1)
+    sorted_probs = jnp.take_along_axis(probs, sort_idx, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    remove = cum > p
+    remove = jnp.concatenate([jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1)
+    inv = jnp.argsort(sort_idx, axis=-1)
+    remove_orig = jnp.take_along_axis(remove, inv, axis=-1)
+    return jnp.where(remove_orig, 0.0, probs)
+
+
+def _next_token_probs(logits: jnp.ndarray, cfg: DecodeConfig) -> jnp.ndarray:
+    """Temperature + top-k + top-p filtered, renormalized probabilities."""
+    if cfg.temperature != 1.0 and cfg.temperature > 0:
+        logits = logits / cfg.temperature
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if cfg.top_k > 0:
+        probs = filter_top_k(probs, cfg.top_k)
+    if cfg.top_p > 0.0:
+        probs = filter_top_p(probs, cfg.top_p)
+    total = jnp.sum(probs, axis=-1, keepdims=True)
+    return jnp.where(total > 0, probs / jnp.maximum(total, 1e-38), probs)
+
+
+# ---------------------------------------------------------------------------
+# Greedy / sampling
+# ---------------------------------------------------------------------------
+
+
+def greedy_sample_decode(
+    step_fn: StepFn,
+    carry0,
+    batch_size: int,
+    cfg: DecodeConfig,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Batched greedy (or filtered-sampling) decode.
+
+    Returns token ids ``(B, max_length)`` — generated tokens only (no START),
+    with PAD at and after the first END position's successor (END itself is
+    kept so hosts can locate it; use :func:`trim_host` to strip).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def scan_step(state, _):
+        tokens, carry, finished, key = state
+        logits, carry = step_fn(tokens, carry)
+        if cfg.sampling:
+            key, sub = jax.random.split(key)
+            probs = _next_token_probs(logits, cfg)
+            nxt = jax.random.categorical(sub, jnp.log(jnp.maximum(probs, 1e-38)), axis=-1)
+        else:
+            if cfg.temperature not in (0.0, 1.0):
+                logits = logits / cfg.temperature
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        out = jnp.where(finished, jnp.int32(cfg.pad_id), nxt)
+        finished = jnp.logical_or(finished, out == cfg.end_id)
+        return (out, carry, finished, key), out
+
+    start = jnp.full((batch_size,), cfg.start_id, dtype=jnp.int32)
+    finished0 = jnp.zeros((batch_size,), dtype=bool)
+    (_, _, _, _), tokens_t = jax.lax.scan(
+        scan_step, (start, carry0, finished0, rng), None, length=cfg.max_length
+    )
+    return jnp.swapaxes(tokens_t, 0, 1)  # (B, T)
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+
+def beam_decode(
+    step_fn: StepFn,
+    carry0,
+    batch_size: int,
+    beam_size: int,
+    cfg: DecodeConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched fixed-width beam search, fully on device.
+
+    ``step_fn`` must operate on a flattened ``B*K`` batch (the caller expands
+    the encoder memory; ``carry0`` is the B*K carry).  Returns
+    ``(tokens (B, max_length), scores (B,))`` for the best beam per sample.
+    """
+    K = beam_size
+    NEG = jnp.float32(-1e30)
+
+    def gather_beams(tree, beam_idx):
+        """Reindex the B*K axis of every leaf by beam_idx (B, K)."""
+        flat_idx = beam_idx + (jnp.arange(batch_size, dtype=beam_idx.dtype) * K)[:, None]
+        flat_idx = flat_idx.reshape(-1)  # (B*K,)
+
+        def gather_leaf(leaf):
+            if leaf.ndim >= 2 and leaf.shape[-2] == batch_size * K:
+                # e.g. LSTM carry (L, B*K, H)
+                return jnp.take(leaf, flat_idx, axis=-2)
+            if leaf.shape[0] == batch_size * K:
+                return jnp.take(leaf, flat_idx, axis=0)
+            return leaf
+
+        return jax.tree_util.tree_map(gather_leaf, tree)
+
+    def scan_step(state, _):
+        tokens, carry, scores, finished = state  # tokens (B*K,), scores (B,K)
+        logits, carry = step_fn(tokens, carry)  # (B*K, V)
+        V = logits.shape[-1]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(batch_size, K, V)
+        fin = finished.reshape(batch_size, K)
+        # END-absorbing: finished beams emit PAD with additive score 0 and
+        # everything else -inf, freezing their cumulative score.
+        pad_onehot = jnp.where(
+            jnp.arange(V) == cfg.pad_id, jnp.float32(0.0), NEG
+        )  # (V,)
+        logp = jnp.where(fin[..., None], pad_onehot[None, None, :], logp)
+        total = scores[..., None] + logp  # (B, K, V)
+        flat = total.reshape(batch_size, K * V)
+        new_scores, flat_idx = jax.lax.top_k(flat, K)  # (B, K)
+        beam_idx = flat_idx // V
+        token_idx = (flat_idx % V).astype(jnp.int32)
+
+        carry = gather_beams(carry, beam_idx)
+        fin = jnp.take_along_axis(fin, beam_idx, axis=1)
+        fin_new = jnp.logical_or(fin, token_idx == cfg.end_id)
+        # Finished-before beams emit PAD (token_idx already == pad for them).
+        out_tokens = token_idx.reshape(-1)
+        return (out_tokens, carry, new_scores, fin_new.reshape(-1)), (token_idx, beam_idx)
+
+    start = jnp.full((batch_size * K,), cfg.start_id, dtype=jnp.int32)
+    # Only beam 0 is live at t=0 so the first expansion picks K distinct tokens.
+    scores0 = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.full((K - 1,), NEG)])[None, :],
+        (batch_size, 1),
+    )
+    finished0 = jnp.zeros((batch_size * K,), dtype=bool)
+    (_, _, final_scores, final_finished), (tok_seq, beam_seq) = jax.lax.scan(
+        scan_step, (start, carry0, scores0, finished0), None, length=cfg.max_length
+    )
+    # tok_seq/beam_seq: (T, B, K).  Backtrack the beam ancestry to recover the
+    # token sequence of each surviving beam.
+    T = cfg.max_length
+
+    def backtrack(carry_beam, t):
+        # carry_beam: (B, K) current beam index at step t+1's perspective
+        tok = tok_seq[t]  # (B, K)
+        toks = jnp.take_along_axis(tok, carry_beam, axis=1)
+        prev_beam = jnp.take_along_axis(beam_seq[t], carry_beam, axis=1)
+        return prev_beam, toks
+
+    last_beams = jnp.tile(jnp.arange(K)[None, :], (batch_size, 1))
+    _, rev_tokens = jax.lax.scan(backtrack, last_beams, jnp.arange(T - 1, -1, -1))
+    sequences = jnp.flip(rev_tokens, axis=0)  # (T, B, K)
+    sequences = jnp.transpose(sequences, (1, 2, 0))  # (B, K, T)
+
+    # Length normalization: score / length^alpha over generated length
+    # (END included), reference has alpha=0 (pure sum).
+    if cfg.length_penalty > 0:
+        lengths = jnp.sum(sequences != cfg.pad_id, axis=-1).astype(jnp.float32)
+        norm_scores = final_scores / jnp.maximum(lengths, 1.0) ** cfg.length_penalty
+    else:
+        norm_scores = final_scores
+    best = jnp.argmax(norm_scores, axis=-1)  # (B,)
+    best_tokens = jnp.take_along_axis(sequences, best[:, None, None], axis=1)[:, 0, :]
+    best_scores = jnp.take_along_axis(final_scores, best[:, None], axis=1)[:, 0]
+    return best_tokens, best_scores
+
+
+# ---------------------------------------------------------------------------
+# Host-side post-processing
+# ---------------------------------------------------------------------------
+
+
+def trim_host(tokens: np.ndarray, end_id: int, pad_id: int, start_id: Optional[int] = None) -> List[List[int]]:
+    """Device (B, T) -> list of python id lists, cut at the first END
+    (exclusive), PAD and leading START stripped (reference
+    ``predictor.py:349-360,382-391``)."""
+    out: List[List[int]] = []
+    arr = np.asarray(tokens)
+    for row in arr:
+        ids = row.tolist()
+        if start_id is not None and ids and ids[0] == start_id:
+            ids = ids[1:]
+        if end_id in ids:
+            ids = ids[: ids.index(end_id)]
+        out.append([t for t in ids if t != pad_id])
+    return out

@@ -1,0 +1,293 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from img2latex_tpu.decoding.decode import (
+    DecodeConfig,
+    beam_decode,
+    filter_top_k,
+    filter_top_p,
+    greedy_sample_decode,
+    trim_host,
+)
+
+V, H = 8, 5
+PAD, START, END = 0, 1, 2
+
+
+def make_dynamics(seed=0):
+    """Tiny deterministic RNN dynamics shared by jax and numpy oracles.
+
+    PAD is made very improbable (as in any trained model) because the
+    on-device beam reserves PAD as the END-absorbing filler token.
+    """
+    rng = np.random.default_rng(seed)
+    emb = rng.normal(size=(V, H)).astype(np.float32)
+    W = rng.normal(size=(H, V)).astype(np.float32)
+    return emb, W
+
+
+_PAD_BIAS = np.zeros(V, np.float32)
+_PAD_BIAS[PAD] = -50.0
+
+
+def jax_step_fn(emb, W):
+    emb_j, W_j, bias = jnp.array(emb), jnp.array(W), jnp.array(_PAD_BIAS)
+
+    def step(tokens, carry):
+        carry = jnp.tanh(carry + emb_j[tokens])
+        return carry @ W_j + bias, carry
+
+    return step
+
+
+def np_step(emb, W, token, carry):
+    carry = np.tanh(carry + emb[token])
+    return carry @ W + _PAD_BIAS, carry
+
+
+class TestGreedy:
+    def test_matches_numpy_oracle(self):
+        emb, W = make_dynamics()
+        B, T = 3, 10
+        cfg = DecodeConfig(max_length=T, start_id=START, end_id=END, pad_id=PAD)
+        carry0 = jnp.zeros((B, H))
+        tokens = greedy_sample_decode(jax_step_fn(emb, W), carry0, B, cfg)
+        assert tokens.shape == (B, T)
+
+        # numpy oracle: argmax loop with END -> PAD forever
+        out = np.zeros((B, T), dtype=np.int64)
+        carry = np.zeros((B, H), dtype=np.float32)
+        tok = np.full((B,), START)
+        finished = np.zeros(B, dtype=bool)
+        for t in range(T):
+            logits, carry = np_step(emb, W, tok, carry)
+            nxt = logits.argmax(-1)
+            nxt = np.where(finished, PAD, nxt)
+            finished |= nxt == END
+            out[:, t] = nxt
+            tok = nxt
+        np.testing.assert_array_equal(np.asarray(tokens), out)
+
+    def test_finished_emits_pad_forever(self):
+        # dynamics rigged so END is emitted at step 2 for everything
+        emb, W = make_dynamics(1)
+        W = W.copy()
+        W[:, END] = 100.0  # END always wins
+        cfg = DecodeConfig(max_length=6, start_id=START, end_id=END, pad_id=PAD)
+        tokens = np.asarray(
+            greedy_sample_decode(jax_step_fn(emb, W), jnp.zeros((2, H)), 2, cfg)
+        )
+        assert (tokens[:, 0] == END).all()
+        assert (tokens[:, 1:] == PAD).all()
+
+    def test_jittable_with_static_config(self):
+        emb, W = make_dynamics()
+        cfg = DecodeConfig(max_length=5, start_id=START, end_id=END, pad_id=PAD)
+        fn = jax.jit(
+            lambda c0: greedy_sample_decode(jax_step_fn(emb, W), c0, 2, cfg)
+        )
+        out = fn(jnp.zeros((2, H)))
+        assert out.shape == (2, 5)
+
+
+class TestFilters:
+    def test_top_k_matches_torch_semantics(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(0)
+        probs = rng.dirichlet(np.ones(V), size=4).astype(np.float32)
+        for k in (1, 3, V):
+            ours = np.asarray(filter_top_k(jnp.array(probs), k))
+            tp = torch.tensor(probs.copy())
+            kth = torch.topk(tp, min(k, V), dim=-1)[0][:, -1, None]
+            tp[tp < kth] = 0.0
+            np.testing.assert_allclose(ours, tp.numpy(), atol=1e-7)
+
+    def test_top_p_matches_torch_semantics(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(1)
+        probs = rng.dirichlet(np.ones(V), size=6).astype(np.float32)
+        for p in (0.1, 0.5, 0.9):
+            ours = np.asarray(filter_top_p(jnp.array(probs), p))
+            tp = torch.tensor(probs.copy())
+            sorted_probs, sorted_idx = torch.sort(tp, descending=True)
+            cum = torch.cumsum(sorted_probs, dim=-1)
+            remove = cum > p
+            remove[:, 1:] = remove[:, :-1].clone()
+            remove[:, 0] = False
+            orig_remove = remove.scatter(-1, sorted_idx, remove)
+            tp[orig_remove] = 0.0
+            np.testing.assert_allclose(ours, tp.numpy(), atol=1e-7)
+
+    def test_top_k_1_sampling_equals_greedy(self):
+        emb, W = make_dynamics(2)
+        B, T = 2, 8
+        greedy = greedy_sample_decode(
+            jax_step_fn(emb, W),
+            jnp.zeros((B, H)),
+            B,
+            DecodeConfig(max_length=T, start_id=START, end_id=END, pad_id=PAD),
+        )
+        sampled = greedy_sample_decode(
+            jax_step_fn(emb, W),
+            jnp.zeros((B, H)),
+            B,
+            DecodeConfig(max_length=T, start_id=START, end_id=END, pad_id=PAD, top_k=1),
+            rng=jax.random.PRNGKey(9),
+        )
+        np.testing.assert_array_equal(np.asarray(greedy), np.asarray(sampled))
+
+    def test_top_k_sampling_stays_in_top_k(self):
+        emb, W = make_dynamics(3)
+        B, T, k = 2, 10, 3
+        cfg = DecodeConfig(max_length=T, start_id=START, end_id=END, pad_id=PAD, top_k=k)
+        tokens = np.asarray(
+            greedy_sample_decode(
+                jax_step_fn(emb, W), jnp.zeros((B, H)), B, cfg, rng=jax.random.PRNGKey(4)
+            )
+        )
+        # replay: at each step the emitted token must be among top-k (or PAD
+        # after finish)
+        carry = np.zeros((B, H), dtype=np.float32)
+        tok = np.full((B,), START)
+        finished = np.zeros(B, dtype=bool)
+        for t in range(T):
+            logits, carry = np_step(emb, W, tok, carry)
+            topk = np.argsort(-logits, axis=-1)[:, :k]
+            for b in range(B):
+                if finished[b]:
+                    assert tokens[b, t] == PAD
+                else:
+                    assert tokens[b, t] in topk[b]
+            finished |= tokens[:, t] == END
+            tok = tokens[:, t]
+
+    def test_temperature_alone_is_argmax(self):
+        emb, W = make_dynamics(4)
+        cfg_hot = DecodeConfig(max_length=6, start_id=START, end_id=END, pad_id=PAD, temperature=5.0)
+        cfg_std = DecodeConfig(max_length=6, start_id=START, end_id=END, pad_id=PAD)
+        a = greedy_sample_decode(jax_step_fn(emb, W), jnp.zeros((2, H)), 2, cfg_hot)
+        b = greedy_sample_decode(jax_step_fn(emb, W), jnp.zeros((2, H)), 2, cfg_std)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def np_reference_beam(emb, W, K, T):
+    """Reference-style dict beam search (seq2seq.py:234-298) in numpy, B=1."""
+    beams = [{"tokens": [START], "carry": np.zeros(H, np.float32), "score": 0.0}]
+    completed = []
+    for _ in range(T):
+        candidates = []
+        for beam in beams:
+            last = beam["tokens"][-1]
+            if last == END:
+                completed.append(beam)
+                continue
+            logits, carry = np_step(emb, W, np.array([last]), beam["carry"][None])
+            logits, carry = logits[0], carry[0]
+            logp = logits - (np.log(np.exp(logits - logits.max()).sum()) + logits.max())
+            top = np.argsort(-logp)[:K]
+            for idx in top:
+                candidates.append(
+                    {
+                        "tokens": beam["tokens"] + [int(idx)],
+                        "carry": carry,
+                        "score": beam["score"] + float(logp[idx]),
+                    }
+                )
+        if not candidates:
+            break
+        candidates.sort(key=lambda b: b["score"], reverse=True)
+        beams = candidates[:K]
+        if all(b["tokens"][-1] == END for b in beams):
+            completed.extend(beams)
+            break
+    best = max(completed, key=lambda b: b["score"]) if completed else beams[0]
+    seq = best["tokens"][1:]
+    if END in seq:
+        seq = seq[: seq.index(END)]
+    return seq, best["score"]
+
+
+class TestBeam:
+    def _run_beam(self, emb, W, B, K, T):
+        step = jax_step_fn(emb, W)
+        carry0 = jnp.zeros((B * K, H))
+        cfg = DecodeConfig(max_length=T, start_id=START, end_id=END, pad_id=PAD, beam_size=K)
+        return beam_decode(step, carry0, B, K, cfg)
+
+    def test_beam_1_equals_greedy(self):
+        emb, W = make_dynamics(5)
+        B, T = 3, 9
+        tokens, scores = self._run_beam(emb, W, B, 1, T)
+        greedy = greedy_sample_decode(
+            jax_step_fn(emb, W),
+            jnp.zeros((B, H)),
+            B,
+            DecodeConfig(max_length=T, start_id=START, end_id=END, pad_id=PAD),
+        )
+        np.testing.assert_array_equal(np.asarray(tokens), np.asarray(greedy))
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    @pytest.mark.parametrize("K", [2, 3])
+    def test_beam_matches_reference_dict_beam(self, seed, K):
+        emb, W = make_dynamics(seed)
+        # bias toward END so sequences finish within T
+        W = W.copy()
+        W[:, END] += 1.0
+        T = 12
+        tokens, scores = self._run_beam(emb, W, 1, K, T)
+        got = trim_host(np.asarray(tokens), END, PAD)[0]
+        ref_seq, ref_score = np_reference_beam(emb, W, K, T)
+        assert got == ref_seq
+        assert float(scores[0]) == pytest.approx(ref_score, abs=1e-4)
+
+    def test_batched_beam_independent_of_batching(self):
+        """Each batch element's beam result must match running it alone."""
+        emb, W = make_dynamics(6)
+        W = W.copy()
+        W[:, END] += 0.5
+        B, K, T = 3, 2, 8
+        step = jax_step_fn(emb, W)
+        # different initial carries per element to differentiate them
+        rng = np.random.default_rng(0)
+        init = rng.normal(size=(B, H)).astype(np.float32)
+        carry0 = jnp.repeat(jnp.array(init), K, axis=0)
+        cfg = DecodeConfig(max_length=T, start_id=START, end_id=END, pad_id=PAD, beam_size=K)
+        tokens, scores = beam_decode(step, carry0, B, K, cfg)
+        for b in range(B):
+            solo_carry = jnp.repeat(jnp.array(init[b : b + 1]), K, axis=0)
+            solo_tokens, solo_scores = beam_decode(step, solo_carry, 1, K, cfg)
+            np.testing.assert_array_equal(np.asarray(tokens[b]), np.asarray(solo_tokens[0]))
+            assert float(scores[b]) == pytest.approx(float(solo_scores[0]), abs=1e-5)
+
+    def test_length_penalty_prefers_longer(self):
+        emb, W = make_dynamics(7)
+        B, K, T = 1, 3, 10
+        step = jax_step_fn(emb, W)
+        carry0 = jnp.zeros((B * K, H))
+        t0, _ = beam_decode(
+            step, carry0, B, K, DecodeConfig(max_length=T, start_id=START, end_id=END, pad_id=PAD)
+        )
+        t1, _ = beam_decode(
+            step,
+            carry0,
+            B,
+            K,
+            DecodeConfig(max_length=T, start_id=START, end_id=END, pad_id=PAD, length_penalty=1.0),
+        )
+        # With penalty the selection may differ; both must be valid shapes.
+        assert t0.shape == t1.shape == (1, T)
+
+
+class TestTrim:
+    def test_trim_host(self):
+        arr = np.array(
+            [
+                [5, 6, END, PAD, PAD],
+                [7, 8, 9, 5, 6],
+                [START, 5, END, PAD, PAD],
+            ]
+        )
+        out = trim_host(arr, END, PAD, start_id=START)
+        assert out == [[5, 6], [7, 8, 9, 5, 6], [5]]
