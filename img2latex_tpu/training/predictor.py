@@ -1,0 +1,230 @@
+"""Predictor: rebuild the inference stack from a checkpoint, decode on device.
+
+Parity surface with reference ``img2latex/training/predictor.py:20-521``
+(``from_checkpoint`` -> config + tokenizer + weights; ``predict`` accepts a
+path / numpy array / PIL image / device array; ``predict_batch`` chunks,
+decodes and detokenizes) with two upgrades:
+
+* decoding runs fully on device — greedy/sampling/beam are single compiled
+  scans from :mod:`img2latex_tpu.decoding` (the reference loops per token on
+  host and *clamps beam search off*, ``predictor.py:163-167``; beam is a
+  first-class path here);
+* chunks are padded to a static batch size so every call hits the same
+  compiled executable (no retraces); detokenization is the only host work.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from img2latex_tpu.config import Config, config_from_dict
+from img2latex_tpu.data.tokenizer import LaTeXTokenizer
+from img2latex_tpu.data.transforms import array_to_canvas_u8, load_image_u8
+from img2latex_tpu.decoding.decode import (
+    DecodeConfig,
+    beam_decode,
+    greedy_sample_decode,
+    trim_host,
+)
+from img2latex_tpu.models.seq2seq import Seq2SeqModel, build_model
+from img2latex_tpu.ops.preprocess import normalize_images
+from img2latex_tpu.utils import checkpoint as ckpt_lib
+from img2latex_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+ImageLike = Union[str, np.ndarray, "jnp.ndarray", Any]
+
+
+class Predictor:
+    def __init__(
+        self,
+        cfg: Config,
+        model: Seq2SeqModel,
+        params: Any,
+        batch_stats: Any,
+        tokenizer: LaTeXTokenizer,
+        batch_size: int = 16,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats or {}
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_checkpoint(
+        cls, path: str, step: Optional[int] = None, batch_size: int = 16
+    ) -> "Predictor":
+        """Rebuild config, tokenizer, model and weights from one checkpoint
+        directory (the contract of reference ``predictor.py:61-137``)."""
+        ckpt_dir, found_step = ckpt_lib.resolve_checkpoint_path(path)
+        state, meta = ckpt_lib.restore_checkpoint(
+            ckpt_dir, step if step is not None else (found_step if found_step is not None else -1)
+        )
+        if "config" not in meta or "tokenizer_config" not in meta:
+            raise ValueError(f"Checkpoint at {path} lacks config/tokenizer sidecars")
+        cfg = config_from_dict(meta["config"])
+        tokenizer = LaTeXTokenizer.from_config(meta["tokenizer_config"])
+        model = build_model(cfg, tokenizer.vocab_size)
+        params = state["params"]
+        batch_stats = state.get("batch_stats", {}) or {}
+        logger.info(
+            "Loaded predictor from %s (step %s, vocab %d)", path, meta.get("step"), tokenizer.vocab_size
+        )
+        return cls(cfg, model, params, batch_stats, tokenizer, batch_size=batch_size)
+
+    # ------------------------------------------------------------------
+    def _variables(self) -> Dict[str, Any]:
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+    def _prepare_image(self, image: ImageLike) -> np.ndarray:
+        """Any accepted input -> uint8 (H, W, C) canvas (reference
+        ``predictor.py:396-462`` dispatch)."""
+        h, w, c = self.cfg.image_shape
+        if isinstance(image, str):
+            return load_image_u8(image, (h, w), c, self.cfg.preprocessing.pad_value)
+        try:  # PIL image
+            from PIL import Image as PILImage
+
+            if isinstance(image, PILImage.Image):
+                mode = "L" if c == 1 else "RGB"
+                if image.mode != mode:
+                    image = image.convert(mode)
+                arr = np.asarray(image, dtype=np.uint8)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                return array_to_canvas_u8(arr, h, w, self.cfg.preprocessing.pad_value)
+        except ImportError:  # pragma: no cover
+            pass
+        arr = np.asarray(image)
+        if arr.dtype != np.uint8:
+            # float in [0,1] or [-1,1] -> back to uint8 canvas
+            a = arr.astype(np.float32)
+            if a.min() < 0:
+                a = (a + 1.0) / 2.0
+            arr = np.clip(a * 255.0, 0, 255).astype(np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[-1] not in (1, 3):
+            arr = np.transpose(arr, (1, 2, 0))  # CHW -> HWC
+        if arr.shape[2] == 1 and c == 3:
+            arr = np.repeat(arr, 3, axis=2)
+        if arr.shape[2] == 3 and c == 1:
+            arr = arr.mean(axis=2, keepdims=True).astype(np.uint8)
+        if arr.shape[:2] != (h, w):
+            arr = array_to_canvas_u8(arr, h, w, self.cfg.preprocessing.pad_value)
+        return arr
+
+    # ------------------------------------------------------------------
+    def _decode_fn(self, batch: int, dcfg: DecodeConfig, seed: int = 0):
+        """Build (and cache) the compiled end-to-end decode: uint8 images ->
+        token ids.  One executable per (batch, decode-config)."""
+        key = (batch, dcfg, seed)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        model = self.model
+        variables = self._variables()
+        mean = tuple(self.cfg.preprocessing.normalization_mean)
+        std = tuple(self.cfg.preprocessing.normalization_std)
+        layers = self.cfg.model.decoder.lstm_layers
+        hidden = self.cfg.model.decoder.hidden_dim
+        dtype = jnp.dtype(self.cfg.hardware.compute_dtype)
+
+        @partial(jax.jit, static_argnames=())
+        def run(images_u8: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+            x = normalize_images(images_u8, mean, std)
+            memory = model.apply(variables, x, method=Seq2SeqModel.encode)
+
+            if dcfg.beam_size > 0:
+                K = dcfg.beam_size
+                mem_exp = jnp.repeat(memory, K, axis=0)  # (B*K, S, E)
+
+                def step_fn(tokens, carry):
+                    return model.apply(
+                        variables, mem_exp, tokens, carry, method=Seq2SeqModel.decode_step
+                    )
+
+                carry0 = (
+                    jnp.zeros((layers, batch * K, hidden), dtype),
+                    jnp.zeros((layers, batch * K, hidden), dtype),
+                )
+                tokens, _ = beam_decode(step_fn, carry0, batch, K, dcfg)
+                return tokens
+
+            def step_fn(tokens, carry):
+                return model.apply(
+                    variables, memory, tokens, carry, method=Seq2SeqModel.decode_step
+                )
+
+            carry0 = (
+                jnp.zeros((layers, batch, hidden), dtype),
+                jnp.zeros((layers, batch, hidden), dtype),
+            )
+            return greedy_sample_decode(step_fn, carry0, batch, dcfg, rng=rng)
+
+        self._jit_cache[key] = run
+        return run
+
+    # ------------------------------------------------------------------
+    def predict_batch(
+        self,
+        images: Sequence[ImageLike],
+        beam_size: Optional[int] = None,
+        max_length: Optional[int] = None,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        batch_size: Optional[int] = None,
+        seed: int = 0,
+        return_ids: bool = False,
+    ) -> List[Any]:
+        icfg = self.cfg.inference
+        dcfg = DecodeConfig(
+            max_length=max_length if max_length is not None else icfg.max_length,
+            start_id=self.tokenizer.start_token_id,
+            end_id=self.tokenizer.end_token_id,
+            pad_id=self.tokenizer.pad_token_id,
+            temperature=temperature if temperature is not None else icfg.temperature,
+            top_k=top_k if top_k is not None else icfg.top_k,
+            top_p=top_p if top_p is not None else icfg.top_p,
+            beam_size=beam_size if beam_size is not None else icfg.beam_size,
+            length_penalty=icfg.length_penalty,
+        )
+        B = batch_size or self.batch_size
+        h, w, c = self.cfg.image_shape
+        results: List[Any] = []
+        rng = jax.random.PRNGKey(seed)
+        run = self._decode_fn(B, dcfg, seed)
+        for i in range(0, len(images), B):
+            chunk = images[i : i + B]
+            buf = np.zeros((B, h, w, c), dtype=np.uint8)
+            for j, img in enumerate(chunk):
+                buf[j] = self._prepare_image(img)
+            rng, sub = jax.random.split(rng)
+            tokens = run(jnp.asarray(buf), sub)
+            id_lists = trim_host(
+                np.asarray(tokens)[: len(chunk)],
+                self.tokenizer.end_token_id,
+                self.tokenizer.pad_token_id,
+                start_id=self.tokenizer.start_token_id,
+            )
+            if return_ids:
+                results.extend(id_lists)
+            else:
+                results.extend(self.tokenizer.decode(ids) for ids in id_lists)
+        return results
+
+    def predict(self, image: ImageLike, **kwargs) -> Any:
+        return self.predict_batch([image], batch_size=1, **kwargs)[0]

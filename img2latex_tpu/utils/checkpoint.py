@@ -1,0 +1,126 @@
+"""Checkpoint save/restore: Orbax pytrees + JSON sidecars.
+
+Same single-artifact restore contract as the reference's ``torch.save`` dict
+``{epoch, step, model_state_dict, optimizer_state_dict, metrics, config,
+tokenizer_config}`` (``img2latex/training/trainer.py:181-233``), TPU-native:
+
+* arrays go through Orbax (sharding-aware, async-capable) under
+  ``<ckpt_dir>/step_<N>/state``;
+* config + tokenizer vocab + counters are JSON sidecars so a predictor can
+  rebuild the entire inference stack from one directory
+  (reference ``Predictor.from_checkpoint``, ``predictor.py:61-137``);
+* ``best`` pointer file mirrors ``best_checkpoint.pt`` (``trainer.py:227-231``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import orbax.checkpoint as ocp
+
+_STATE_SUBDIR = "state"
+_META_FILE = "meta.json"
+_BEST_FILE = "best"
+
+
+def save_checkpoint(
+    ckpt_dir: str | Path,
+    state_tree: Dict[str, Any],
+    meta: Dict[str, Any],
+    step: int,
+    is_best: bool = False,
+    keep: Optional[int] = None,
+) -> Path:
+    """Save ``state_tree`` (arrays) + ``meta`` (JSON) under ``step_<N>/``."""
+    ckpt_dir = Path(ckpt_dir).absolute()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    step_dir = ckpt_dir / f"step_{step}"
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(step_dir / _STATE_SUBDIR, state_tree, force=True)
+    (step_dir / _META_FILE).write_text(json.dumps(meta, indent=2))
+    if is_best:
+        (ckpt_dir / _BEST_FILE).write_text(str(step))
+    if keep is not None:
+        _prune(ckpt_dir, keep)
+    return step_dir
+
+
+def _prune(ckpt_dir: Path, keep: int) -> None:
+    steps = sorted(_list_steps(ckpt_dir))
+    best = best_step(ckpt_dir)
+    for s in steps[:-keep] if keep > 0 else []:
+        if s == best:
+            continue
+        import shutil
+
+        shutil.rmtree(ckpt_dir / f"step_{s}", ignore_errors=True)
+
+
+def _list_steps(ckpt_dir: Path) -> list:
+    if not ckpt_dir.exists():
+        return []
+    out = []
+    for p in ckpt_dir.iterdir():
+        if p.is_dir() and p.name.startswith("step_") and p.name[5:].isdigit():
+            out.append(int(p.name[5:]))
+    return out
+
+
+def latest_step(ckpt_dir: str | Path) -> Optional[int]:
+    steps = _list_steps(Path(ckpt_dir))
+    return max(steps) if steps else None
+
+
+def best_step(ckpt_dir: str | Path) -> Optional[int]:
+    f = Path(ckpt_dir) / _BEST_FILE
+    if f.exists():
+        try:
+            return int(f.read_text().strip())
+        except ValueError:
+            return None
+    return None
+
+
+def restore_checkpoint(
+    ckpt_dir: str | Path,
+    step: Optional[int] = None,
+    template: Optional[Dict[str, Any]] = None,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Restore ``(state_tree, meta)``.
+
+    ``step=None`` picks the latest; ``step=-1`` picks the ``best`` pointer.
+    ``template`` (a pytree of like-shaped arrays) restores with the exact
+    original structure — required for opt_state NamedTuples.
+    """
+    ckpt_dir = Path(ckpt_dir).absolute()
+    if step is None:
+        step = latest_step(ckpt_dir)
+    elif step == -1:
+        step = best_step(ckpt_dir) or latest_step(ckpt_dir)
+    if step is None:
+        raise FileNotFoundError(f"No checkpoints under {ckpt_dir}")
+    step_dir = ckpt_dir / f"step_{step}"
+    if not step_dir.exists():
+        raise FileNotFoundError(f"Checkpoint not found: {step_dir}")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if template is not None:
+            state = ckptr.restore(step_dir / _STATE_SUBDIR, item=template)
+        else:
+            state = ckptr.restore(step_dir / _STATE_SUBDIR)
+    meta_file = step_dir / _META_FILE
+    meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
+    return state, meta
+
+
+def resolve_checkpoint_path(path: str | Path) -> Tuple[Path, Optional[int]]:
+    """Accept a ckpt dir, a ``step_N`` dir, or a dir containing ``checkpoints/``;
+    return (ckpt_dir, step)."""
+    p = Path(path).absolute()
+    if p.name.startswith("step_") and p.name[5:].isdigit():
+        return p.parent, int(p.name[5:])
+    if (p / "checkpoints").is_dir():
+        return p / "checkpoints", None
+    return p, None

@@ -1,0 +1,221 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from img2latex_tpu.config import Config
+from img2latex_tpu.data.pipeline import create_data_loaders, read_formulas
+from img2latex_tpu.data.synthetic import write_synthetic_corpus
+from img2latex_tpu.data.tokenizer import LaTeXTokenizer
+from img2latex_tpu.training.optim import (
+    EarlyStopping,
+    PlateauScheduler,
+    build_optimizer,
+    get_learning_rate,
+    set_learning_rate,
+)
+from img2latex_tpu.training.trainer import Trainer
+from img2latex_tpu.utils.paths import PathManager
+from img2latex_tpu.utils.registry import ExperimentRegistry
+
+
+def tiny_config(data_dir: str) -> Config:
+    cfg = Config()
+    cfg.data.data_dir = data_dir
+    cfg.data.batch_size = 8
+    cfg.data.max_seq_length = 16
+    cfg.model.embedding_dim = 32
+    cfg.model.decoder.hidden_dim = 32
+    cfg.model.decoder.lstm_layers = 1
+    cfg.model.decoder.dropout = 0.0
+    cfg.model.encoder.cnn.img_height = 32
+    cfg.model.encoder.cnn.img_width = 96
+    cfg.model.encoder.cnn.conv_filters = [4, 8]
+    cfg.training.epochs = 3
+    cfg.training.learning_rate = 2e-3
+    cfg.training.accumulation_steps = 1
+    cfg.hardware.compute_dtype = "float32"
+    cfg.evaluation.bleu_batches = 2
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("traincorpus")
+    return write_synthetic_corpus(str(root), n_train=32, n_val=8, n_test=8, seed=3)
+
+
+@pytest.fixture(scope="module")
+def trained(corpus, tmp_path_factory):
+    """Train a tiny model for 3 epochs; shared by several tests."""
+    outdir = tmp_path_factory.mktemp("exp")
+    cfg = tiny_config(corpus)
+    tok = LaTeXTokenizer(max_sequence_length=cfg.data.max_seq_length)
+    tok.fit(read_formulas(os.path.join(corpus, "im2latex_formulas.norm.lst")))
+    loaders = create_data_loaders(cfg, tok)
+    paths = PathManager(str(outdir))
+    paths.outputs_dir.mkdir(parents=True, exist_ok=True)
+    registry = ExperimentRegistry(paths)
+    trainer = Trainer(
+        cfg, tok, loaders, paths=paths, registry=registry, experiment_name="tiny_exp"
+    )
+    result = trainer.train()
+    return cfg, tok, trainer, result, paths, registry
+
+
+class TestSchedulers:
+    def test_plateau_reduces_after_patience(self):
+        s = PlateauScheduler(1.0, factor=0.5, patience=2)
+        assert not s.step(1.0)
+        assert not s.step(1.0)  # bad 1
+        assert not s.step(1.0)  # bad 2
+        assert s.step(1.0)  # bad 3 > patience -> reduce
+        assert s.lr == 0.5
+
+    def test_plateau_improvement_resets(self):
+        s = PlateauScheduler(1.0, factor=0.5, patience=1)
+        s.step(1.0)
+        s.step(0.5)  # improvement
+        assert not s.step(0.6)  # bad 1
+        assert s.step(0.6)  # bad 2 -> reduce
+        assert s.lr == 0.5
+
+    def test_early_stopping(self):
+        e = EarlyStopping(patience=2)
+        assert not e.step(1.0)
+        assert not e.step(0.9)
+        assert not e.step(0.95)
+        assert e.step(0.95)
+
+
+class TestOptim:
+    def test_lr_injection_roundtrip(self):
+        cfg = Config()
+        cfg.training.accumulation_steps = 2
+        tx = build_optimizer(cfg)
+        params = {"w": jnp.ones((3,))}
+        opt_state = tx.init(params)
+        assert get_learning_rate(opt_state) == pytest.approx(cfg.training.learning_rate)
+        new_state = set_learning_rate(opt_state, 1e-4)
+        assert get_learning_rate(new_state) == pytest.approx(1e-4)
+        # updated state still usable
+        updates, _ = tx.update({"w": jnp.ones((3,))}, new_state, params)
+        assert jax.tree_util.tree_structure(updates) == jax.tree_util.tree_structure(params)
+
+    def test_torch_adam_parity_one_step(self):
+        """One optimizer step == torch.optim.Adam with L2 weight_decay."""
+        torch = pytest.importorskip("torch")
+        cfg = Config()
+        cfg.training.learning_rate = 1e-2
+        cfg.training.weight_decay = 0.1
+        cfg.training.clip_grad_norm = 1e9  # disable clipping for parity check
+        cfg.training.accumulation_steps = 1
+        tx = build_optimizer(cfg)
+        # Avoid g + wd*w ~= 0 cancellation (eps-dominated regime amplifies
+        # fp32 rounding differences into O(lr) update differences).
+        w0 = np.array([1.0, -2.0, 3.0], np.float32)
+        g = np.array([0.1, 0.2, -0.7], np.float32)
+        params = {"w": jnp.array(w0)}
+        state = tx.init(params)
+        updates, state = tx.update({"w": jnp.array(g)}, state, params)
+        new_w = np.asarray(params["w"] + updates["w"])
+
+        tw = torch.nn.Parameter(torch.tensor(w0))
+        opt = torch.optim.Adam([tw], lr=1e-2, weight_decay=0.1)
+        tw.grad = torch.tensor(g)
+        opt.step()
+        np.testing.assert_allclose(new_w, tw.detach().numpy(), atol=1e-6)
+
+    def test_freeze_mask_zeroes_backbone(self):
+        cfg = Config()
+        cfg.model.name = "resnet_lstm"
+        cfg.model.encoder.resnet.freeze_backbone = True
+        cfg.training.accumulation_steps = 1
+        tx = build_optimizer(cfg)
+        params = {
+            "encoder": {
+                "backbone": {
+                    "conv1": {"kernel": jnp.ones((2, 2))},
+                    "layer4_0": {"conv1": {"kernel": jnp.ones((2, 2))}},
+                },
+                "Dense_0": {"kernel": jnp.ones((2, 2))},
+            },
+            "decoder": {"cell": {"out": {"kernel": jnp.ones((2, 2))}}},
+        }
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        assert np.all(np.asarray(updates["encoder"]["backbone"]["conv1"]["kernel"]) == 0)
+        assert np.any(np.asarray(updates["encoder"]["backbone"]["layer4_0"]["conv1"]["kernel"]) != 0)
+        assert np.any(np.asarray(updates["encoder"]["Dense_0"]["kernel"]) != 0)
+        assert np.any(np.asarray(updates["decoder"]["cell"]["out"]["kernel"]) != 0)
+
+
+class TestEndToEnd:
+    def test_loss_decreases(self, trained):
+        _, _, trainer, result, _, _ = trained
+        hist = result["history"]
+        first, last = min(hist), max(hist)
+        assert hist[last]["train_loss"] < hist[first]["train_loss"]
+        assert result["epochs_run"] == 3
+
+    def test_metrics_artifacts_written(self, trained):
+        cfg, _, _, _, paths, registry = trained
+        mdir = paths.get_dir("tiny_exp", "metrics")
+        assert (mdir / "metrics.json").exists()
+        enhanced = list(mdir.glob("tiny_exp_enhanced_metrics_epoch_*.json"))
+        assert enhanced, "enhanced metrics files missing"
+        exp = registry.get("tiny_exp")
+        assert exp["status"] == "completed"
+        assert "1" in exp["metrics"]["steps"]
+        assert "val_bleu" in exp["metrics"]["steps"]["1"]
+
+    def test_checkpoint_resume(self, trained, corpus):
+        cfg, tok, trainer, _, paths, _ = trained
+        loaders = create_data_loaders(cfg, tok)
+        t2 = Trainer(cfg, tok, loaders, paths=paths, experiment_name="tiny_exp")
+        ckpt_dir = str(paths.get_dir("tiny_exp", "checkpoints"))
+        t2.load_checkpoint(ckpt_dir)
+        assert int(t2.state.step) == int(trainer.state.step)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(t2.state.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0]),
+        )
+        assert t2.start_epoch == 3
+
+    def test_predictor_from_checkpoint(self, trained, corpus):
+        cfg, tok, trainer, _, paths, _ = trained
+        from img2latex_tpu.training.predictor import Predictor
+
+        ckpt_dir = str(paths.get_dir("tiny_exp", "checkpoints"))
+        pred = Predictor.from_checkpoint(ckpt_dir, batch_size=4)
+        assert pred.tokenizer.vocab_size == tok.vocab_size
+        img_dir = os.path.join(corpus, "img")
+        img_paths = [os.path.join(img_dir, f) for f in sorted(os.listdir(img_dir))[:3]]
+        out = pred.predict_batch(img_paths)
+        assert len(out) == 3
+        assert all(isinstance(s, str) for s in out)
+        single = pred.predict(img_paths[0])
+        assert isinstance(single, str)
+        # beam path is first-class (no clamp)
+        beam_out = pred.predict_batch(img_paths, beam_size=2)
+        assert len(beam_out) == 3
+
+    def test_predictor_accepts_array_inputs(self, trained, corpus):
+        cfg, tok, trainer, _, paths, _ = trained
+        from PIL import Image
+
+        from img2latex_tpu.training.predictor import Predictor
+
+        ckpt_dir = str(paths.get_dir("tiny_exp", "checkpoints"))
+        pred = Predictor.from_checkpoint(ckpt_dir, batch_size=2)
+        img_dir = os.path.join(corpus, "img")
+        path = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
+        as_pil = Image.open(path)
+        as_np = np.asarray(Image.open(path))
+        r1 = pred.predict(path)
+        r2 = pred.predict(as_pil)
+        r3 = pred.predict(as_np)
+        assert r1 == r2 == r3
