@@ -1,0 +1,416 @@
+"""Command-line interface: train / predict / evaluate / visualize / analyze.
+
+Same command surface as the reference typer app (``img2latex/cli.py:62-697``):
+``train``, ``predict``, ``evaluate``, ``visualize``, ``debug-logs`` and the
+seven ``analyze`` sub-commands (images, project, curves, tokens, errors,
+preprocess, metrics) plus the report-figure and prediction-visualization
+tools.  Built on argparse (typer is not a hard dependency of this package);
+every command takes ``--config`` plus targeted overrides exactly like the
+reference's per-command typer options (``cli.py:130-148``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Any, Dict, List, Optional
+
+from img2latex_tpu.config import Config, load_config
+from img2latex_tpu.utils.logging import configure_logging, get_logger, log_execution_params
+
+logger = get_logger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Helpers
+# ---------------------------------------------------------------------------
+
+
+def _common_config_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", "-c", default=None, help="YAML config path")
+    p.add_argument("--data-dir", default=None, help="Override data.data_dir")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="Dotted config override, e.g. training.learning_rate=3e-4")
+
+
+def _parse_overrides(args: argparse.Namespace, extra: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    overrides: Dict[str, Any] = {}
+    if getattr(args, "data_dir", None):
+        overrides["data.data_dir"] = args.data_dir
+    for item in getattr(args, "set", []):
+        if "=" not in item:
+            raise SystemExit(f"--set expects KEY=VALUE, got {item!r}")
+        key, raw = item.split("=", 1)
+        try:
+            value = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw
+        overrides[key.strip()] = value
+    for k, v in (extra or {}).items():
+        if v is not None:
+            overrides[k] = v
+    return overrides
+
+
+def _load_cfg(args: argparse.Namespace, extra: Optional[Dict[str, Any]] = None) -> Config:
+    return load_config(args.config, _parse_overrides(args, extra))
+
+
+def set_seed(seed: int) -> None:
+    """Cross-library seeding (reference ``mps_utils.py:200-251,374-377``).
+    JAX randomness is functional (explicit PRNGKey threading), so only the
+    host-side libraries need global seeds."""
+    import random
+
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+# ---------------------------------------------------------------------------
+# train
+# ---------------------------------------------------------------------------
+
+
+def cmd_train(args: argparse.Namespace) -> int:
+    from img2latex_tpu.data.pipeline import create_data_loaders
+    from img2latex_tpu.data.tokenizer import LaTeXTokenizer
+    from img2latex_tpu.training.trainer import Trainer
+    from img2latex_tpu.utils.paths import PathManager
+    from img2latex_tpu.utils.registry import ExperimentRegistry
+
+    cfg = _load_cfg(
+        args,
+        {
+            "training.experiment_name": args.experiment_name,
+            "training.epochs": args.epochs,
+            "data.batch_size": args.batch_size,
+            "training.learning_rate": args.learning_rate,
+            "model.name": args.model,
+        },
+    )
+    set_seed(cfg.training.seed)
+    paths = PathManager(args.output_dir)
+    registry = ExperimentRegistry(paths)
+    exp_name = registry.register_experiment(
+        cfg.training.experiment_name,
+        description=f"{cfg.model.name} via CLI",
+        config_path=args.config,
+        auto_version=True,
+    )
+    dirs = paths.create_experiment_structure(exp_name)
+    configure_logging(cfg, log_dir=str(dirs["logs"]), experiment_name=exp_name)
+    cfg.to_yaml(paths.experiment_dir(exp_name) / "config.yaml")
+    log_execution_params(logger, {"command": "train", "experiment": exp_name,
+                                  "model": cfg.model.name, "data_dir": cfg.data.data_dir})
+
+    tokenizer = LaTeXTokenizer(max_sequence_length=cfg.data.max_seq_length)
+    formulas_path = os.path.join(cfg.data.data_dir, cfg.data.formulas_file)
+    tokenizer.fit_on_formulas_file(formulas_path)
+    tokenizer.save(str(paths.experiment_dir(exp_name) / "tokenizer.json"))
+
+    loaders = create_data_loaders(cfg, tokenizer)
+    trainer = Trainer(
+        cfg, tokenizer, loaders, paths=paths, registry=registry, experiment_name=exp_name
+    )
+    if args.checkpoint_path:
+        trainer.load_checkpoint(args.checkpoint_path)
+    result = trainer.train()
+    logger.info(
+        "Training done: %d epochs, best val loss %.4f%s",
+        result["epochs_run"],
+        result["best_val_loss"],
+        " (early stop)" if result["stopped_early"] else "",
+    )
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# predict
+# ---------------------------------------------------------------------------
+
+
+def cmd_predict(args: argparse.Namespace) -> int:
+    from img2latex_tpu.training.predictor import Predictor
+
+    predictor = Predictor.from_checkpoint(args.checkpoint)
+    log_execution_params(
+        logger,
+        {"command": "predict", "checkpoint": args.checkpoint, "image": args.image,
+         "beam_size": args.beam_size},
+    )
+    latex = predictor.predict(
+        args.image,
+        beam_size=args.beam_size,
+        max_length=args.max_length,
+        temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+    )
+    print(latex)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# evaluate
+# ---------------------------------------------------------------------------
+
+
+def cmd_evaluate(args: argparse.Namespace) -> int:
+    from img2latex_tpu.training.evaluator import evaluate_checkpoint
+    from img2latex_tpu.utils.paths import PathManager
+
+    output_dir = args.output_dir
+    if output_dir is None:
+        # Infer the experiment dir from the checkpoint path (reference
+        # cli.py:339-350) and write under its predictions/.
+        probe = os.path.abspath(args.checkpoint)
+        while probe and os.path.basename(probe) not in ("", "/"):
+            if os.path.basename(os.path.dirname(probe)) == "outputs":
+                output_dir = os.path.join(probe, "predictions")
+                break
+            probe = os.path.dirname(probe)
+    result = evaluate_checkpoint(
+        args.checkpoint,
+        data_dir=args.data_dir,
+        split=args.split,
+        beam_size=args.beam_size,
+        max_length=args.max_length,
+        temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        batch_size=args.batch_size,
+        max_batches=args.max_batches,
+        output_dir=output_dir,
+    )
+    print(json.dumps(result, indent=2))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# visualize / debug-logs
+# ---------------------------------------------------------------------------
+
+
+def cmd_visualize(args: argparse.Namespace) -> int:
+    from img2latex_tpu.utils.visualize_metrics import visualize_experiment_metrics
+
+    return visualize_experiment_metrics(
+        experiment=args.experiment,
+        output_dir=args.output_dir,
+        metric=args.metric,
+        show_samples=not args.no_samples,
+    )
+
+
+def cmd_debug_logs(args: argparse.Namespace) -> int:
+    """Logger diagnostics (reference ``cli.py:591`` + ``logging.py:304-435``)."""
+    import logging as pylogging
+
+    from img2latex_tpu.utils.paths import PathManager
+
+    paths = PathManager(args.output_dir)
+    root = pylogging.getLogger("img2latex_tpu")
+    print(f"root logger level: {pylogging.getLevelName(root.level)}")
+    for h in root.handlers:
+        print(f"handler: {type(h).__name__} -> {getattr(h, 'baseFilename', 'stderr')}")
+    if args.experiment:
+        log_dir = paths.get_dir(args.experiment, "logs")
+        for f in sorted(log_dir.glob("*.log")):
+            print(f"{f} ({f.stat().st_size} bytes)")
+            if args.tail:
+                lines = f.read_text(errors="replace").splitlines()[-args.tail :]
+                print("\n".join("  " + ln for ln in lines))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# analyze sub-apps
+# ---------------------------------------------------------------------------
+
+
+def cmd_analyze(args: argparse.Namespace) -> int:
+    tool = args.tool
+    if tool == "images":
+        from img2latex_tpu.analysis.images import analyze_images_cmd
+
+        return analyze_images_cmd(args)
+    if tool == "project":
+        from img2latex_tpu.analysis.project import analyze_project_cmd
+
+        return analyze_project_cmd(args)
+    if tool == "curves":
+        from img2latex_tpu.analysis.curves import plot_curves_cmd
+
+        return plot_curves_cmd(args)
+    if tool == "tokens":
+        from img2latex_tpu.analysis.tokens import analyze_tokens_cmd
+
+        return analyze_tokens_cmd(args)
+    if tool == "errors":
+        from img2latex_tpu.analysis.errors import analyze_errors_cmd
+
+        return analyze_errors_cmd(args)
+    if tool == "preprocess":
+        from img2latex_tpu.analysis.preprocess import visualize_preprocess_cmd
+
+        return visualize_preprocess_cmd(args)
+    if tool == "metrics":
+        from img2latex_tpu.analysis.metrics import metrics_cmd
+
+        return metrics_cmd(args)
+    if tool == "report":
+        from img2latex_tpu.analysis.report_figures import generate_cmd
+
+        return generate_cmd(args)
+    if tool == "predictions":
+        from img2latex_tpu.analysis.visualize_predictions import visualize_cmd
+
+        return visualize_cmd(args)
+    raise SystemExit(f"Unknown analyze tool: {tool}")
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="img2latex-tpu",
+        description="TPU-native image-to-LaTeX: train, predict, evaluate, analyze.",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    # train
+    t = sub.add_parser("train", help="Train a model")
+    _common_config_args(t)
+    t.add_argument("--experiment-name", default=None)
+    t.add_argument("--model", default=None, choices=[None, "cnn_lstm", "resnet_lstm"])
+    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--batch-size", type=int, default=None)
+    t.add_argument("--learning-rate", type=float, default=None)
+    t.add_argument("--checkpoint-path", default=None, help="Resume from checkpoint")
+    t.add_argument("--output-dir", default=None, help="Project root for outputs/")
+    t.set_defaults(func=cmd_train)
+
+    # predict
+    pr = sub.add_parser("predict", help="Predict LaTeX for one image")
+    pr.add_argument("checkpoint")
+    pr.add_argument("image")
+    pr.add_argument("--beam-size", type=int, default=None)
+    pr.add_argument("--max-length", type=int, default=None)
+    pr.add_argument("--temperature", type=float, default=None)
+    pr.add_argument("--top-k", type=int, default=None)
+    pr.add_argument("--top-p", type=float, default=None)
+    pr.set_defaults(func=cmd_predict)
+
+    # evaluate
+    ev = sub.add_parser("evaluate", help="Evaluate a checkpoint on a dataset split")
+    ev.add_argument("checkpoint")
+    ev.add_argument("data_dir", nargs="?", default=None)
+    ev.add_argument("--data-dir", dest="data_dir_opt", default=None)
+    ev.add_argument("--split", default="test", choices=["train", "validate", "test"])
+    ev.add_argument("--beam-size", type=int, default=None)
+    ev.add_argument("--max-length", type=int, default=None)
+    ev.add_argument("--temperature", type=float, default=None)
+    ev.add_argument("--top-k", type=int, default=None)
+    ev.add_argument("--top-p", type=float, default=None)
+    ev.add_argument("--batch-size", type=int, default=None)
+    ev.add_argument("--max-batches", type=int, default=None)
+    ev.add_argument("--output-dir", default=None)
+    ev.set_defaults(func=cmd_evaluate)
+
+    # visualize
+    vz = sub.add_parser("visualize", help="Visualize experiment metrics")
+    vz.add_argument("--experiment", "-e", default=None)
+    vz.add_argument("--output-dir", default=None)
+    vz.add_argument("--metric", default=None)
+    vz.add_argument("--no-samples", action="store_true")
+    vz.set_defaults(func=cmd_visualize)
+
+    # debug-logs
+    dl = sub.add_parser("debug-logs", help="Logger/log-file diagnostics")
+    dl.add_argument("--experiment", "-e", default=None)
+    dl.add_argument("--output-dir", default=None)
+    dl.add_argument("--tail", type=int, default=0)
+    dl.set_defaults(func=cmd_debug_logs)
+
+    # analyze
+    an = sub.add_parser("analyze", help="Analysis suite")
+    an_sub = an.add_subparsers(dest="tool", required=True)
+
+    ai = an_sub.add_parser("images", help="Dataset image statistics")
+    _common_config_args(ai)
+    ai.add_argument("--split", default="train")
+    ai.add_argument("--num-samples", type=int, default=None)
+    ai.add_argument("--output-dir", default="outputs/analysis/images")
+    ai.set_defaults(func=cmd_analyze)
+
+    ap_ = an_sub.add_parser("project", help="Config validation + sweep summary")
+    _common_config_args(ap_)
+    ap_.add_argument("--check", default="all",
+                     choices=["all", "config", "files", "consistency", "sweep", "env"])
+    ap_.add_argument("--output-dir", default="outputs/analysis/project")
+    ap_.set_defaults(func=cmd_analyze)
+
+    ac = an_sub.add_parser("curves", help="Learning-curve plots")
+    ac.add_argument("--experiment", "-e", required=True)
+    ac.add_argument("--metrics-file", default=None)
+    ac.add_argument("--smoothing", type=float, default=None)
+    ac.add_argument("--output-dir", default=None)
+    _common_config_args(ac)
+    ac.set_defaults(func=cmd_analyze)
+
+    at = an_sub.add_parser("tokens", help="Token distribution / KL divergence")
+    at.add_argument("--predictions-file", required=True)
+    at.add_argument("--top-k", type=int, default=20)
+    at.add_argument("--output-dir", default="outputs/analysis/tokens")
+    at.set_defaults(func=cmd_analyze)
+
+    ae = an_sub.add_parser("errors", help="Edit-distance buckets + error patterns")
+    ae.add_argument("--predictions-file", required=True)
+    ae.add_argument("--output-dir", default="outputs/analysis/errors")
+    _common_config_args(ae)
+    ae.set_defaults(func=cmd_analyze)
+
+    app_ = an_sub.add_parser("preprocess", help="Preprocessing visualization")
+    app_.add_argument("--image", required=True)
+    app_.add_argument("--output-dir", default="outputs/analysis/preprocess")
+    _common_config_args(app_)
+    app_.set_defaults(func=cmd_analyze)
+
+    am = an_sub.add_parser("metrics", help="Enhanced-metrics browser")
+    am.add_argument("action", nargs="?", default="visualize",
+                    choices=["visualize", "latest", "compare", "export"])
+    am.add_argument("--experiment", "-e", default=None)
+    am.add_argument("--experiments", nargs="*", default=None)
+    am.add_argument("--metric", default="bleu")
+    am.add_argument("--format", default="csv", choices=["csv", "json"])
+    am.add_argument("--output-dir", default=None)
+    am.set_defaults(func=cmd_analyze)
+
+    ar = an_sub.add_parser("report", help="Publication report figures")
+    ar.add_argument("--experiment", "-e", required=True)
+    ar.add_argument("--output-dir", default=None)
+    ar.set_defaults(func=cmd_analyze)
+
+    av = an_sub.add_parser("predictions", help="Prediction-vs-reference figures")
+    av.add_argument("--predictions-file", required=True)
+    av.add_argument("--num-samples", type=int, default=10)
+    av.add_argument("--output-dir", default="outputs/analysis/predictions")
+    av.set_defaults(func=cmd_analyze)
+
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,145 @@
+"""Dataset evaluation: free-running decode over a split + metrics + artifacts.
+
+Parity with ``img2latex evaluate`` (reference ``cli.py:315-518``): loads a
+checkpoint into a predictor, decodes the chosen split with greedy/beam/
+sampling, computes BLEU/Levenshtein/token accuracy over the whole split and
+writes ``predictions/predictions.json`` under the experiment directory.
+
+TPU-native: the eval loop feeds loader batches (uint8, static shapes)
+straight into the predictor's compiled decode — images/sec here IS the
+benchmark path (north star: >=5k img/s on v5e-8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from img2latex_tpu.data.pipeline import create_data_loaders
+from img2latex_tpu.decoding.decode import DecodeConfig, trim_host
+from img2latex_tpu.ops.metrics import calculate_metrics, token_list_accuracy
+from img2latex_tpu.training.predictor import Predictor
+from img2latex_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def evaluate_checkpoint(
+    checkpoint_path: str,
+    data_dir: Optional[str] = None,
+    split: str = "test",
+    beam_size: Optional[int] = None,
+    max_length: Optional[int] = None,
+    temperature: Optional[float] = None,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+    batch_size: Optional[int] = None,
+    max_batches: Optional[int] = None,
+    output_dir: Optional[str] = None,
+    predictor: Optional[Predictor] = None,
+) -> Dict[str, Any]:
+    pred = predictor or Predictor.from_checkpoint(checkpoint_path)
+    cfg = pred.cfg
+    if data_dir:
+        cfg.data.data_dir = data_dir
+    if batch_size:
+        cfg.data.batch_size = batch_size
+        cfg.data.eval_batch_size_multiplier = 1
+        cfg.data.max_eval_batch_size = batch_size
+    tok = pred.tokenizer
+    loaders = create_data_loaders(cfg, tok, splits=(split,))
+    loader = loaders[split]
+
+    icfg = cfg.inference
+    dcfg = DecodeConfig(
+        max_length=max_length if max_length is not None else icfg.max_length,
+        start_id=tok.start_token_id,
+        end_id=tok.end_token_id,
+        pad_id=tok.pad_token_id,
+        temperature=temperature if temperature is not None else icfg.temperature,
+        top_k=top_k if top_k is not None else icfg.top_k,
+        top_p=top_p if top_p is not None else icfg.top_p,
+        beam_size=beam_size if beam_size is not None else icfg.beam_size,
+        length_penalty=icfg.length_penalty,
+    )
+
+    all_preds, all_tgts, rows = [], [], []
+    n_images = 0
+    decode_s = 0.0
+    run = None
+    rng = jax.random.PRNGKey(0)
+    sample_offset = 0
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        B = batch["images"].shape[0]
+        if run is None:
+            run = pred._decode_fn(B, dcfg)
+        n_valid = int(batch.get("n_valid", B))
+        rng, sub = jax.random.split(rng)
+        t0 = time.perf_counter()
+        tokens = run(jax.numpy.asarray(batch["images"]), sub)
+        pred_ids = trim_host(
+            np.asarray(tokens)[:n_valid], tok.end_token_id, tok.pad_token_id,
+            start_id=tok.start_token_id,
+        )
+        decode_s += time.perf_counter() - t0
+        tgt_ids = trim_host(
+            np.asarray(batch["formulas"])[:n_valid, 1:],  # strip START
+            tok.end_token_id,
+            tok.pad_token_id,
+        )
+        all_preds.extend(pred_ids)
+        all_tgts.extend(tgt_ids)
+        ds = loader.dataset
+        for j in range(n_valid):
+            idx = sample_offset + j
+            name = ds.samples[idx][0] if idx < len(ds.samples) and not loader.shuffle else None
+            rows.append(
+                {
+                    "image": name,
+                    "prediction": tok.decode(pred_ids[j]),
+                    "reference": tok.decode(tgt_ids[j]),
+                }
+            )
+        sample_offset += n_valid
+        n_images += n_valid
+
+    quality = calculate_metrics(all_preds, all_tgts, cfg.evaluation.bleu_n)
+    correct, total = token_list_accuracy(all_preds, all_tgts, tok.pad_token_id)
+    result = {
+        "split": split,
+        "num_images": n_images,
+        "bleu": quality["bleu"],
+        "levenshtein": quality["levenshtein"],
+        "token_accuracy": correct / total if total else 0.0,
+        "decode_seconds": decode_s,
+        "images_per_second": n_images / decode_s if decode_s > 0 else 0.0,
+        "decode": {
+            "beam_size": dcfg.beam_size,
+            "temperature": dcfg.temperature,
+            "top_k": dcfg.top_k,
+            "top_p": dcfg.top_p,
+            "max_length": dcfg.max_length,
+        },
+    }
+    logger.info(
+        "evaluate[%s]: %d images bleu %.4f lev %.4f acc %.4f (%.0f img/s)",
+        split,
+        n_images,
+        result["bleu"],
+        result["levenshtein"],
+        result["token_accuracy"],
+        result["images_per_second"],
+    )
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "predictions.json"), "w") as f:
+            json.dump({"metrics": result, "predictions": rows}, f, indent=2)
+        logger.info("Wrote %s/predictions.json", output_dir)
+    return result

@@ -97,7 +97,7 @@ class Trainer:
         self.best_val_loss = float("inf")
         self.history: Dict[int, Dict[str, float]] = {}
 
-        if self.registry is not None:
+        if self.registry is not None and self.registry.get(self.experiment_name) is None:
             self.registry.register_experiment(
                 self.experiment_name,
                 description=f"{cfg.model.name} on {cfg.data.data_dir}",

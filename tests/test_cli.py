@@ -1,0 +1,133 @@
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from img2latex_tpu.cli import build_parser, main
+from img2latex_tpu.data.synthetic import write_synthetic_corpus
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    write_synthetic_corpus(str(root / "data"), n_train=24, n_val=8, n_test=8, seed=11)
+    cfg = {
+        "data": {"data_dir": str(root / "data"), "batch_size": 8, "max_seq_length": 16},
+        "model": {
+            "name": "cnn_lstm",
+            "embedding_dim": 32,
+            "encoder": {"cnn": {"img_height": 32, "img_width": 96, "conv_filters": [4, 8]}},
+            "decoder": {"hidden_dim": 32, "lstm_layers": 1, "dropout": 0.0},
+        },
+        "training": {"epochs": 1, "experiment_name": "cli_t", "accumulation_steps": 1},
+        "evaluation": {"bleu_batches": 1},
+        "inference": {"max_length": 15},
+        "hardware": {"compute_dtype": "float32"},
+    }
+    cfg_path = root / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    return root
+
+
+class TestParser:
+    def test_all_commands_present(self):
+        parser = build_parser()
+        # mirrors the reference command surface (cli.py:62-80)
+        for argv in (
+            ["train", "--epochs", "1"],
+            ["predict", "c", "i"],
+            ["evaluate", "c"],
+            ["visualize"],
+            ["debug-logs"],
+            ["analyze", "images"],
+            ["analyze", "project"],
+            ["analyze", "curves", "-e", "x"],
+            ["analyze", "tokens", "--predictions-file", "p"],
+            ["analyze", "errors", "--predictions-file", "p"],
+            ["analyze", "preprocess", "--image", "i"],
+            ["analyze", "metrics", "latest", "-e", "x"],
+            ["analyze", "report", "-e", "x"],
+            ["analyze", "predictions", "--predictions-file", "p"],
+        ):
+            args = parser.parse_args(argv)
+            assert callable(args.func)
+
+    def test_set_override_parsing(self):
+        parser = build_parser()
+        args = parser.parse_args(["train", "--set", "training.learning_rate=0.01"])
+        from img2latex_tpu.cli import _parse_overrides
+
+        ov = _parse_overrides(args)
+        assert ov["training.learning_rate"] == 0.01
+
+    def test_bad_set_raises(self):
+        parser = build_parser()
+        args = parser.parse_args(["train", "--set", "nonsense"])
+        from img2latex_tpu.cli import _parse_overrides
+
+        with pytest.raises(SystemExit):
+            _parse_overrides(args)
+
+
+class TestLifecycle:
+    def test_train_predict_evaluate(self, workdir, capsys):
+        rc = main(
+            ["train", "--config", str(workdir / "cfg.yaml"), "--output-dir", str(workdir)]
+        )
+        assert rc == 0
+        exp_dir = workdir / "outputs" / "cli_t"
+        assert (exp_dir / "checkpoints").is_dir()
+        assert (exp_dir / "config.yaml").exists()
+        assert (exp_dir / "tokenizer.json").exists()
+        assert (exp_dir / "metrics" / "metrics.json").exists()
+
+        img = sorted((workdir / "data" / "img").iterdir())[0]
+        rc = main(["predict", str(exp_dir / "checkpoints"), str(img)])
+        assert rc == 0
+
+        rc = main(
+            [
+                "evaluate",
+                str(exp_dir / "checkpoints"),
+                "--data-dir",
+                str(workdir / "data"),
+                "--split",
+                "test",
+                "--output-dir",
+                str(exp_dir / "predictions"),
+            ]
+        )
+        assert rc == 0
+        preds = json.loads((exp_dir / "predictions" / "predictions.json").read_text())
+        assert len(preds["predictions"]) == 8
+        out = capsys.readouterr().out
+        assert "token_accuracy" in out
+
+    def test_registry_not_double_registered(self, workdir):
+        reg = json.loads(
+            (workdir / "outputs" / "registry" / "experiment_registry.json").read_text()
+        )
+        assert "cli_t" in reg
+        # training metrics survived (a second register would have reset them)
+        assert reg["cli_t"]["metrics"]["steps"]
+        assert reg["cli_t"]["status"] == "completed"
+
+    def test_analyze_tools_on_artifacts(self, workdir):
+        exp_dir = workdir / "outputs" / "cli_t"
+        pf = str(exp_dir / "predictions" / "predictions.json")
+        out = workdir / "an"
+        assert main(["analyze", "tokens", "--predictions-file", pf,
+                     "--output-dir", str(out / "tokens")]) == 0
+        assert main(["analyze", "errors", "--predictions-file", pf,
+                     "--output-dir", str(out / "errors")]) == 0
+        assert main(["analyze", "predictions", "--predictions-file", pf,
+                     "--output-dir", str(out / "pred")]) == 0
+        assert (out / "tokens" / "token_report.md").exists()
+        assert (out / "errors" / "error_buckets.json").exists()
+        assert (out / "pred" / "prediction_comparison.png").exists()
+
+    def test_visualize_and_debug_logs(self, workdir):
+        assert main(["visualize", "-e", "cli_t", "--output-dir", str(workdir)]) == 0
+        assert main(["debug-logs", "-e", "cli_t", "--output-dir", str(workdir), "--tail", "1"]) == 0
