@@ -172,6 +172,10 @@ def calculate_metrics(
     n = len(predictions)
     if n == 0:
         return {"bleu": 0.0, "levenshtein": 0.0, "batch_size": 0}
+    native = _get_native()
+    if native is not None:
+        bleus, levs = native.batch_metrics(predictions, targets, bleu_n)
+        return {"bleu": float(bleus.mean()), "levenshtein": float(levs.mean()), "batch_size": n}
     bleu = sum(bleu_n_score(predictions[i], targets[i], bleu_n) for i in range(n)) / n
     lev = sum(levenshtein_similarity(predictions[i], targets[i]) for i in range(n)) / n
     return {"bleu": bleu, "levenshtein": lev, "batch_size": n}
