@@ -1,0 +1,236 @@
+"""Fused greedy decode step as a single Pallas TPU kernel.
+
+One autoregressive step of the LSTM decoder — token embedding lookup, L LSTM
+layers, vocab projection, argmax — fused into one kernel so that per step:
+
+* the embedding gather is a one-hot matmul on the MXU (dynamic row gathers
+  lower poorly on TPU; a (B, Vp) x (Vp, E) matmul is ~free at these sizes);
+* all gate matmuls and the vocab projection run back-to-back from VMEM with
+  float32 accumulation (``preferred_element_type``);
+* only the winning token ids (B,) and the carry leave the kernel — logits
+  never round-trip to HBM on the greedy path.
+
+Driven by ``lax.scan`` from :func:`pallas_greedy_decode`.  The vocab is padded
+to a multiple of 128 (lane width); padded logit columns get a -inf bias so
+argmax can never select them.  Used by the Predictor when
+``hardware.use_pallas_decode`` is on and the shapes fit VMEM; the scan-based
+XLA path remains the correctness fallback (identical outputs, tested).
+
+Kernel-language reference: /opt/skills/guides/pallas_guide.md.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Weight packing
+# ---------------------------------------------------------------------------
+
+
+def pack_decoder_weights(params: Dict[str, Any], vocab_size: int, dtype=jnp.bfloat16):
+    """Extract + pad the decode-path weights from a Seq2SeqModel param tree.
+
+    Returns a dict of arrays with the vocab dimension padded to a multiple of
+    128: ``emb (Vp, E)``, per-layer ``w_ih (In, 4H)``, ``w_hh (H, 4H)``,
+    ``b (4H,)`` (b_ih + b_hh folded), ``w_out (H, Vp)``, ``b_out (Vp,)`` with
+    -inf on padded columns.
+    """
+    cell = params["params"]["decoder"]["cell"] if "params" in params else params["decoder"]["cell"]
+    emb = np.asarray(cell["embedding"]["embedding"], dtype=np.float32)  # (V, E)
+    V, E = emb.shape
+    Vp = _round_up(V, 128)
+    emb_p = np.zeros((Vp, E), np.float32)
+    emb_p[:V] = emb
+
+    layers = []
+    lstm = cell["lstm"]
+    li = 0
+    while f"W_ih_l{li}" in lstm:
+        w_ih = np.asarray(lstm[f"W_ih_l{li}"], np.float32)
+        w_hh = np.asarray(lstm[f"W_hh_l{li}"], np.float32)
+        b = np.asarray(lstm[f"b_ih_l{li}"], np.float32) + np.asarray(
+            lstm[f"b_hh_l{li}"], np.float32
+        )
+        layers.append((w_ih, w_hh, b))
+        li += 1
+
+    w_out = np.asarray(cell["out"]["kernel"], np.float32)  # (H, V)
+    b_out = np.asarray(cell["out"]["bias"], np.float32)
+    H = w_out.shape[0]
+    w_out_p = np.zeros((H, Vp), np.float32)
+    w_out_p[:, :V] = w_out
+    b_out_p = np.full((Vp,), NEG_INF, np.float32)
+    b_out_p[:V] = b_out
+
+    packed = {
+        "emb": jnp.asarray(emb_p, dtype),
+        "w_out": jnp.asarray(w_out_p, dtype),
+        "b_out": jnp.asarray(b_out_p, jnp.float32),
+        "num_layers": len(layers),
+        "vocab_padded": Vp,
+        "vocab": V,
+        "embed_dim": E,
+        "hidden_dim": layers[0][1].shape[0],
+    }
+    for i, (w_ih, w_hh, b) in enumerate(layers):
+        packed[f"w_ih_{i}"] = jnp.asarray(w_ih, dtype)
+        packed[f"w_hh_{i}"] = jnp.asarray(w_hh, dtype)
+        packed[f"b_{i}"] = jnp.asarray(b, jnp.float32)
+    return packed
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _decode_step_kernel(num_layers: int, *refs):
+    """refs layout:
+    [tokens (B,1) i32] [ctx (B,E)] [h (L,B,H)] [c (L,B,H)]
+    [emb (Vp,E)] [w_ih_0 w_hh_0 b_0 ... per layer ...] [w_out (H,Vp)] [b_out (1,Vp)]
+    -> outputs: [next_tokens (B,1) i32] [h_out (L,B,H)] [c_out (L,B,H)]
+    """
+    (tokens_ref, ctx_ref, h_ref, c_ref, emb_ref) = refs[:5]
+    idx = 5
+    layer_refs = []
+    for _ in range(num_layers):
+        layer_refs.append((refs[idx], refs[idx + 1], refs[idx + 2]))
+        idx += 3
+    w_out_ref, b_out_ref = refs[idx], refs[idx + 1]
+    out_tok_ref, h_out_ref, c_out_ref = refs[idx + 2], refs[idx + 3], refs[idx + 4]
+
+    B = tokens_ref.shape[0]
+    Vp = emb_ref.shape[0]
+    dtype = emb_ref.dtype
+
+    # Embedding lookup as a one-hot matmul on the MXU.
+    tokens = tokens_ref[:]  # (B, 1) int32
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+    onehot = (col == tokens).astype(dtype)  # (B, Vp)
+    x = jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)  # (B, E)
+    x = jnp.concatenate([x.astype(dtype), ctx_ref[:]], axis=-1)  # (B, 2E)
+
+    for layer, (w_ih_ref, w_hh_ref, b_ref) in enumerate(layer_refs):
+        h_prev = h_ref[layer]
+        c_prev = c_ref[layer].astype(jnp.float32)
+        gates = (
+            jnp.dot(x, w_ih_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(h_prev, w_hh_ref[:], preferred_element_type=jnp.float32)
+            + b_ref[:]
+        )  # (B, 4H) f32
+        i_g, f_g, g_g, o_g = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f_g) * c_prev + jax.nn.sigmoid(i_g) * jnp.tanh(g_g)
+        h_new = jax.nn.sigmoid(o_g) * jnp.tanh(c_new)
+        h_out_ref[layer] = h_new.astype(dtype)
+        c_out_ref[layer] = c_new.astype(dtype)
+        x = h_new.astype(dtype)
+
+    logits = (
+        jnp.dot(x, w_out_ref[:], preferred_element_type=jnp.float32) + b_out_ref[:]
+    )  # (B, Vp) f32; padded columns carry -inf bias
+    out_tok_ref[:] = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+
+
+def fused_decode_step(packed: Dict[str, Any], interpret: bool = False):
+    """Build (tokens (B,), context (B,E), h, c) -> (next (B,), h, c) using the
+    fused kernel.  Shapes are static per returned callable."""
+    L = int(packed["num_layers"])
+    dtype = packed["emb"].dtype
+
+    kernel = functools.partial(_decode_step_kernel, L)
+
+    def step(tokens: jnp.ndarray, ctx: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
+        B = tokens.shape[0]
+        H = packed["hidden_dim"]
+        weight_args: List[jnp.ndarray] = [packed["emb"]]
+        for i in range(L):
+            weight_args += [packed[f"w_ih_{i}"], packed[f"w_hh_{i}"], packed[f"b_{i}"].reshape(1, -1)]
+        weight_args += [packed["w_out"], packed["b_out"].reshape(1, -1)]
+
+        out_shapes = (
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((L, B, H), dtype),
+            jax.ShapeDtypeStruct((L, B, H), dtype),
+        )
+        n_inputs = 4 + len(weight_args)
+        toks, h_new, c_new = pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_inputs,
+            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3)),
+            interpret=interpret,
+        )(tokens.reshape(B, 1), ctx.astype(dtype), h.astype(dtype), c.astype(dtype), *weight_args)
+        return toks[:, 0], h_new, c_new
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Greedy decode loop on top of the fused step
+# ---------------------------------------------------------------------------
+
+
+def pallas_greedy_decode(
+    packed: Dict[str, Any],
+    context: jnp.ndarray,  # (B, E) pooled encoder embedding
+    max_length: int,
+    start_id: int,
+    end_id: int,
+    pad_id: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full greedy decode with the fused kernel inside a lax.scan.
+
+    Semantically identical to ``greedy_sample_decode`` with default filters
+    (argmax, finished->PAD); returns (B, max_length) int32.
+    """
+    B = context.shape[0]
+    L = int(packed["num_layers"])
+    H = int(packed["hidden_dim"])
+    dtype = packed["emb"].dtype
+    step = fused_decode_step(packed, interpret=interpret)
+    ctx = context.astype(dtype)
+
+    def scan_step(state, _):
+        tokens, h, c, finished = state
+        nxt, h, c = step(tokens, ctx, h, c)
+        out = jnp.where(finished, jnp.int32(pad_id), nxt)
+        finished = jnp.logical_or(finished, out == end_id)
+        return (out, h, c, finished), out
+
+    init = (
+        jnp.full((B,), start_id, jnp.int32),
+        jnp.zeros((L, B, H), dtype),
+        jnp.zeros((L, B, H), dtype),
+        jnp.zeros((B,), bool),
+    )
+    _, tokens_t = jax.lax.scan(scan_step, init, None, length=max_length)
+    return jnp.swapaxes(tokens_t, 0, 1)
+
+
+def vmem_bytes_estimate(packed: Dict[str, Any], batch: int) -> int:
+    """Rough VMEM footprint of one kernel invocation (weights + IO)."""
+    itemsize = jnp.dtype(packed["emb"].dtype).itemsize
+    total = 0
+    for k, v in packed.items():
+        if hasattr(v, "size"):
+            total += v.size * v.dtype.itemsize
+    L, H, E = packed["num_layers"], packed["hidden_dim"], packed["embed_dim"]
+    Vp = packed["vocab_padded"]
+    total += batch * (2 * E + 4 * L * H + Vp) * max(itemsize, 4)
+    return int(total)

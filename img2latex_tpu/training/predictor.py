@@ -142,6 +142,39 @@ class Predictor:
         hidden = self.cfg.model.decoder.hidden_dim
         dtype = jnp.dtype(self.cfg.hardware.compute_dtype)
 
+        # Fused-Pallas greedy fast path (hardware.use_pallas_decode): vector
+        # memory + pure argmax only; other strategies use the scan path.
+        use_pallas = (
+            self.cfg.hardware.use_pallas_decode
+            and dcfg.beam_size == 0
+            and not dcfg.sampling
+            and getattr(self.cfg.model, "memory", "vector") == "vector"
+            and jax.default_backend() not in ("cpu",)
+        )
+        if use_pallas:
+            from img2latex_tpu.ops.pallas.decode_step import (
+                pack_decoder_weights,
+                pallas_greedy_decode,
+            )
+
+            packed = pack_decoder_weights(self._variables(), self.tokenizer.vocab_size, dtype)
+
+            @jax.jit
+            def run_pallas(images_u8: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+                x = normalize_images(images_u8, mean, std)
+                memory = model.apply(variables, x, method=Seq2SeqModel.encode)
+                return pallas_greedy_decode(
+                    packed,
+                    memory[:, 0, :],
+                    dcfg.max_length,
+                    dcfg.start_id,
+                    dcfg.end_id,
+                    dcfg.pad_id,
+                )
+
+            self._jit_cache[key] = run_pallas
+            return run_pallas
+
         @partial(jax.jit, static_argnames=())
         def run(images_u8: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
             x = normalize_images(images_u8, mean, std)

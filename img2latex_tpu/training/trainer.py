@@ -87,6 +87,22 @@ class Trainer:
         self.rng, init_rng = jax.random.split(rng)
         self.state: TrainState = create_train_state(self.model, self.tx, cfg, init_rng)
 
+        # Converted torchvision backbone weights (reference loads
+        # IMAGENET1K_V1 at encoder construction, encoder.py:184-199; here it
+        # is an explicit artifact produced by scripts/convert_torchvision_resnet.py).
+        pretrained = cfg.model.encoder.resnet.pretrained_path
+        if cfg.model.name == "resnet_lstm" and pretrained:
+            from img2latex_tpu.models.pretrained import load_converted_resnet
+
+            variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+            variables = load_converted_resnet(variables, pretrained)
+            self.state = self.state.replace(
+                params=variables["params"],
+                batch_stats=variables["batch_stats"],
+                opt_state=self.tx.init(variables["params"]),
+            )
+            logger.info("Loaded pretrained backbone from %s", pretrained)
+
         self.scheduler = PlateauScheduler(
             cfg.training.learning_rate,
             factor=cfg.training.lr_plateau_factor,
@@ -265,12 +281,25 @@ class Trainer:
     # ------------------------------------------------------------------
     def train(self) -> Dict[str, Any]:
         cfg = self.cfg.training
+        from img2latex_tpu.utils.profiling import apply_numerics_flags, maybe_trace
+
+        apply_numerics_flags(self.cfg.hardware.debug_nans)
+        if self.cfg.hardware.profile and self.paths is not None:
+            # Trace the first epoch only; artifacts land under logs/traces/.
+            log_dir = str(self.paths.get_dir(self.experiment_name, "logs"))
+            self._trace_ctx = maybe_trace(True, log_dir, "train_epoch0")
+        else:
+            self._trace_ctx = None
         if self.registry is not None:
             self.registry.update_status(self.experiment_name, "training")
         stopped_early = False
         epoch = self.start_epoch - 1
         for epoch in range(self.start_epoch, cfg.epochs):
-            train_metrics = self.train_epoch(epoch)
+            if self._trace_ctx is not None and epoch == self.start_epoch:
+                with self._trace_ctx:
+                    train_metrics = self.train_epoch(epoch)
+            else:
+                train_metrics = self.train_epoch(epoch)
             val_metrics = self.validate(epoch)
             epoch_metrics = {**train_metrics, **val_metrics, "learning_rate": self.scheduler.lr}
             self.history[epoch] = epoch_metrics

@@ -1,0 +1,66 @@
+"""Profiling + numerics debugging toggles.
+
+The reference has no formal profiler (SURVEY.md §5: tqdm bars and an ad-hoc
+throughput probe only).  TPU-natively this wires ``jax.profiler`` traces
+(viewable in TensorBoard/Perfetto/xprof) behind ``hardware.profile`` and
+``jax_debug_nans`` behind ``hardware.debug_nans``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from typing import Iterator, Optional
+
+from img2latex_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+@contextlib.contextmanager
+def maybe_trace(enabled: bool, log_dir: str, name: str = "train") -> Iterator[None]:
+    """jax.profiler trace context; no-op when disabled."""
+    if not enabled:
+        yield
+        return
+    import jax
+
+    trace_dir = os.path.join(log_dir, "traces", name)
+    os.makedirs(trace_dir, exist_ok=True)
+    logger.info("Profiler trace -> %s", trace_dir)
+    with jax.profiler.trace(trace_dir):
+        yield
+    logger.info("Profiler trace complete: %s", trace_dir)
+
+
+def apply_numerics_flags(debug_nans: bool) -> None:
+    if debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+        logger.info("jax_debug_nans enabled")
+
+
+class StepTimer:
+    """Lightweight per-step wall-clock aggregator (host side)."""
+
+    def __init__(self) -> None:
+        self.reset()
+
+    def reset(self) -> None:
+        self.count = 0
+        self.total = 0.0
+        self._t0: Optional[float] = None
+
+    def __enter__(self) -> "StepTimer":
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.total += time.perf_counter() - self._t0
+        self.count += 1
+
+    @property
+    def mean_ms(self) -> float:
+        return (self.total / self.count * 1e3) if self.count else 0.0

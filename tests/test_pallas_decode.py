@@ -1,0 +1,87 @@
+"""Fused Pallas decode kernel: parity with the flax decode path.
+
+Runs in Pallas interpreter mode on CPU (the kernel itself is TPU-targeted;
+interpret=True executes the same program semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from img2latex_tpu.config import Config
+from img2latex_tpu.decoding.decode import DecodeConfig, greedy_sample_decode
+from img2latex_tpu.models.seq2seq import Seq2SeqModel, build_model, init_decoder_carry
+from img2latex_tpu.ops.pallas.decode_step import (
+    fused_decode_step,
+    pack_decoder_weights,
+    pallas_greedy_decode,
+    vmem_bytes_estimate,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config()
+    cfg.model.embedding_dim = 128
+    cfg.model.decoder.hidden_dim = 128
+    cfg.model.decoder.lstm_layers = 2
+    cfg.model.decoder.dropout = 0.0
+    cfg.model.encoder.cnn.img_height = 32
+    cfg.model.encoder.cnn.img_width = 64
+    cfg.model.encoder.cnn.conv_filters = [4, 8]
+    cfg.hardware.compute_dtype = "float32"
+    V = 50
+    model = build_model(cfg, V)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(8, 32, 64, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), imgs, jnp.zeros((8, 10), jnp.int32))
+    memory = model.apply(params, imgs, method=Seq2SeqModel.encode)
+    packed = pack_decoder_weights(params, V, dtype=jnp.float32)
+    return cfg, model, params, memory, packed, V
+
+
+class TestPacking:
+    def test_shapes_padded(self, setup):
+        _, _, _, _, packed, V = setup
+        assert packed["vocab"] == V
+        assert packed["vocab_padded"] == 128
+        assert packed["emb"].shape == (128, 128)
+        assert packed["w_out"].shape == (128, 128)
+        assert packed["num_layers"] == 2
+        # padded vocab columns must be unreachable for argmax
+        assert float(packed["b_out"][V]) < -1e20
+
+    def test_vmem_estimate_positive(self, setup):
+        _, _, _, _, packed, _ = setup
+        assert vmem_bytes_estimate(packed, 8) > 0
+
+
+class TestKernelParity:
+    def test_single_step_matches_flax(self, setup):
+        cfg, model, params, memory, packed, V = setup
+        B = memory.shape[0]
+        step = fused_decode_step(packed, interpret=True)
+        carry = init_decoder_carry(2, B, 128)
+        tokens = jnp.full((B,), 1, jnp.int32)
+        # flax reference step
+        ref_logits, ref_carry = model.apply(
+            params, memory, tokens, carry, method=Seq2SeqModel.decode_step
+        )
+        got_tok, got_h, got_c = step(tokens, memory[:, 0, :], carry[0], carry[1])
+        np.testing.assert_array_equal(
+            np.asarray(got_tok), np.asarray(jnp.argmax(ref_logits, -1))
+        )
+        np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref_carry[0]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_carry[1]), atol=1e-4)
+
+    def test_full_decode_matches_scan_path(self, setup):
+        cfg, model, params, memory, packed, V = setup
+        B = memory.shape[0]
+
+        def step_fn(tokens, carry):
+            return model.apply(params, memory, tokens, carry, method=Seq2SeqModel.decode_step)
+
+        dcfg = DecodeConfig(max_length=20, start_id=1, end_id=2, pad_id=0)
+        ref = greedy_sample_decode(step_fn, init_decoder_carry(2, B, 128), B, dcfg)
+        got = pallas_greedy_decode(packed, memory[:, 0, :], 20, 1, 2, 0, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

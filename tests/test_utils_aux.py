@@ -1,0 +1,116 @@
+import logging
+import os
+
+import numpy as np
+import pytest
+
+from img2latex_tpu.utils.device import batch_size_finder, device_info, live_device_memory_mb, set_device, set_seed
+from img2latex_tpu.utils.logging import ImmediateFileHandler, configure_logging, get_logger, log_execution_params
+from img2latex_tpu.utils.paths import PathManager
+from img2latex_tpu.utils.profiling import StepTimer, maybe_trace
+from img2latex_tpu.utils.registry import ExperimentRegistry
+
+
+class TestDevice:
+    def test_device_info(self):
+        info = device_info()
+        assert info["backend"] == "cpu"
+        assert info["device_count"] == 8
+
+    def test_set_device_falls_back(self):
+        assert set_device("tpu") == "cpu"
+
+    def test_seed(self):
+        set_seed(7)
+        a = np.random.rand(3)
+        set_seed(7)
+        np.testing.assert_array_equal(a, np.random.rand(3))
+
+    def test_live_memory(self):
+        assert live_device_memory_mb() >= 0.0
+
+    def test_batch_size_finder_stops_on_failure(self):
+        def builder(b):
+            if b > 64:
+                raise MemoryError("too big")
+            return lambda: sum(range(b))
+
+        res = batch_size_finder(builder, start=16, max_batch=1024)
+        assert set(res) == {16, 32, 64}
+        assert all(v > 0 for v in res.values())
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        t = StepTimer()
+        for _ in range(3):
+            with t:
+                pass
+        assert t.count == 3
+        assert t.mean_ms >= 0
+
+    def test_maybe_trace_noop(self, tmp_path):
+        with maybe_trace(False, str(tmp_path)):
+            pass
+        assert not (tmp_path / "traces").exists()
+
+    def test_maybe_trace_enabled(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        with maybe_trace(True, str(tmp_path), "t"):
+            jax.jit(lambda x: x * 2)(jnp.ones(4)).block_until_ready()
+        assert (tmp_path / "traces" / "t").exists()
+
+
+class TestPathsRegistry:
+    def test_versioning(self, tmp_path):
+        pm = PathManager(str(tmp_path))
+        pm.outputs_dir.mkdir(parents=True)
+        assert pm.next_version_name("exp") == "exp"
+        pm.create_experiment_structure("exp")
+        assert pm.next_version_name("exp") == "exp_v1"
+
+    def test_invalid_subdir(self, tmp_path):
+        pm = PathManager(str(tmp_path))
+        with pytest.raises(ValueError):
+            pm.get_dir("e", "nonsense")
+
+    def test_registry_lifecycle(self, tmp_path):
+        pm = PathManager(str(tmp_path))
+        pm.outputs_dir.mkdir(parents=True)
+        reg = ExperimentRegistry(pm)
+        name = reg.register_experiment("exp", tags=["a"])
+        name2 = reg.register_experiment("exp")
+        assert name == "exp" and name2 == "exp_v1"
+        reg.update_status("exp", "training")
+        reg.log_metrics("exp", 1, {"val_loss": 0.5})
+        reg.log_metrics("exp", 2, {"val_loss": 0.4})
+        assert reg.get("exp")["status"] == "training"
+        assert reg.get("exp")["metrics"]["steps"]["2"]["val_loss"] == 0.4
+        with pytest.raises(ValueError):
+            reg.update_status("exp", "bogus")
+        df = reg.compare_experiments(metric="val_loss")
+        assert df.loc[df.experiment == "exp", "best_val_loss"].iloc[0] == 0.4
+        assert reg.delete_experiment("exp_v1")
+        assert reg.get("exp_v1") is None
+        # per-experiment metrics.json dual write
+        assert (pm.get_dir("exp", "metrics") / "metrics.json").exists()
+
+
+class TestLoggingUtils:
+    def test_immediate_file_handler_flushes(self, tmp_path):
+        path = tmp_path / "x.log"
+        h = ImmediateFileHandler(str(path))
+        logger = logging.getLogger("img2latex_tpu.test_flush")
+        logger.addHandler(h)
+        logger.warning("hello")
+        assert "hello" in path.read_text()  # visible without close
+        logger.removeHandler(h)
+        h.close()
+
+    def test_log_execution_params(self, caplog):
+        logger = get_logger("img2latex_tpu.test_exec")
+        with caplog.at_level(logging.INFO, "img2latex_tpu.test_exec"):
+            log_execution_params(logger, {"a": 1})
+        assert any("a: 1" in r.message for r in caplog.records)
