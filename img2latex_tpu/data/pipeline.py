@@ -84,6 +84,8 @@ class Im2LatexDataset:
         channels: int = 1,
         pad_value: int = 255,
         load_in_memory: bool = False,
+        augment: bool = False,
+        seed: int = 0,
     ):
         self.samples = parse_split_file(split_file, len(formulas))
         self.formulas = formulas
@@ -92,8 +94,10 @@ class Im2LatexDataset:
         self.img_size = img_size
         self.channels = channels
         self.pad_value = pad_value
+        self.augment = augment
+        self._aug_rng = np.random.default_rng(seed)
         self._cache: Optional[List[np.ndarray]] = None
-        if load_in_memory:
+        if load_in_memory and not augment:
             self._cache = [self._load_image(i) for i in range(len(self.samples))]
 
     def __len__(self) -> int:
@@ -107,6 +111,22 @@ class Im2LatexDataset:
         if not os.path.exists(path):
             logger.warning("Image not found: %s (zero canvas substituted)", path)
             return np.zeros((self.img_size[0], self.img_size[1], self.channels), dtype=np.uint8)
+        if self.augment:
+            from PIL import Image
+
+            from img2latex_tpu.data.transforms import augment_image, resize_with_aspect_ratio
+
+            try:
+                img = Image.open(path)
+                img = img.convert("L" if self.channels == 1 else "RGB")
+                img = augment_image(img, self._aug_rng, self.pad_value)
+                img = resize_with_aspect_ratio(img, self.img_size[0], self.img_size[1], self.pad_value)
+                arr = np.asarray(img, dtype=np.uint8)
+                return arr[:, :, None] if self.channels == 1 else arr
+            except Exception:
+                return np.zeros(
+                    (self.img_size[0], self.img_size[1], self.channels), dtype=np.uint8
+                )
         return load_image_u8(path, self.img_size, self.channels, self.pad_value)
 
     def image(self, i: int) -> np.ndarray:
@@ -243,6 +263,8 @@ def create_data_loaders(
             channels=c,
             pad_value=cfg.preprocessing.pad_value,
             load_in_memory=cfg.data.load_in_memory,
+            augment=cfg.data.augment and split == "train",
+            seed=cfg.training.seed,
         )
         is_train = split == "train"
         loaders[split] = BatchLoader(

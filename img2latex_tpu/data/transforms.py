@@ -55,6 +55,25 @@ class ResizeWithAspectRatio:
         return resize_with_aspect_ratio(img, self.target_height, self.target_width, self.pad_value)
 
 
+def augment_image(img: Image.Image, rng: np.random.Generator, pad_value: int = 255,
+                  max_rotate_deg: float = 5.0, max_translate_frac: float = 0.02) -> Image.Image:
+    """Train-time augmentation: small rotation + translation.
+
+    The reference declares RandomRotation(5) + RandomAffine(2% translate) but
+    the code path is dead (``dataset.py:303-318,487-494`` — it would feed a
+    PIL image where a tensor is expected).  This is the working equivalent,
+    applied on host before the canvas geometry; gated by ``data.augment``
+    (default off for reference parity).
+    """
+    angle = float(rng.uniform(-max_rotate_deg, max_rotate_deg))
+    w, h = img.size
+    tx = float(rng.uniform(-max_translate_frac, max_translate_frac)) * w
+    ty = float(rng.uniform(-max_translate_frac, max_translate_frac)) * h
+    out = img.rotate(angle, resample=Image.BILINEAR, expand=False, fillcolor=pad_value,
+                     translate=(tx, ty))
+    return out
+
+
 def load_image_u8(
     image_path: str,
     img_size: Tuple[int, int] = (64, 800),

@@ -42,10 +42,14 @@ def get_logger(name: str, log_level: str = "INFO") -> logging.Logger:
         return _LOGGERS[name]
     logger = logging.getLogger(name)
     logger.setLevel(getattr(logging, log_level.upper(), logging.INFO))
-    if not logging.getLogger(_ROOT_NAME).handlers and not logger.handlers:
+    root = logging.getLogger(_ROOT_NAME)
+    if not root.handlers and not logger.handlers:
         handler = logging.StreamHandler(sys.stderr)
         handler.setFormatter(logging.Formatter(_FORMAT, _DATEFMT))
-        logging.getLogger(_ROOT_NAME).addHandler(handler)
+        root.addHandler(handler)
+    # Stop at the package root: other libraries (absl/jax) install root-logger
+    # handlers that would double every line.
+    root.propagate = False
     logger.propagate = True
     _LOGGERS[name] = logger
     return logger
