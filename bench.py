@@ -82,21 +82,25 @@ def main() -> None:
         return greedy_sample_decode(step_fn, carry0, B, dcfg)
 
     run = jax.jit(decode)
-    checksum = jax.jit(lambda t: jnp.sum(t.astype(jnp.int32)))
+    checksum = jax.jit(lambda t, acc: acc + jnp.sum(t.astype(jnp.int64)))
     # Warmup / compile.  NOTE: on the tunneled axon platform
-    # block_until_ready() does not actually block — a scalar fetch is the
-    # only reliable sync, so all timings close over float(checksum(out)).
+    # block_until_ready() does not actually block AND every host sync costs a
+    # ~25-30ms round trip, so the loop pipelines all dispatches and
+    # accumulates a device-side checksum fetched ONCE at the end.
     t0 = time.perf_counter()
     out = run(params, batch)
-    _ = float(checksum(out))
+    _ = float(checksum(out, jnp.int64(0)))
     compile_s = time.perf_counter() - t0
 
-    iters = 5
+    iters = 20
+    acc = jnp.int64(0)
     t0 = time.perf_counter()
-    outs = [run(params, batch) for _ in range(iters)]
-    sums = [float(checksum(o)) for o in outs]  # device stream is in-order
+    for _ in range(iters):
+        out = run(params, batch)
+        acc = checksum(out, acc)
+    total = float(acc)  # single sync
     elapsed = time.perf_counter() - t0
-    assert all(s == sums[0] for s in sums)
+    assert np.isfinite(total)
     img_per_sec = B * iters / elapsed
     per_chip = img_per_sec / n_dev
 

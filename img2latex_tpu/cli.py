@@ -93,6 +93,9 @@ def cmd_train(args: argparse.Namespace) -> int:
         },
     )
     set_seed(cfg.training.seed)
+    from img2latex_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     paths = PathManager(args.output_dir)
     registry = ExperimentRegistry(paths)
     exp_name = registry.register_experiment(

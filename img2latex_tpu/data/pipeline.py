@@ -98,7 +98,25 @@ class Im2LatexDataset:
         self._aug_rng = np.random.default_rng(seed)
         self._cache: Optional[List[np.ndarray]] = None
         if load_in_memory and not augment:
-            self._cache = [self._load_image(i) for i in range(len(self.samples))]
+            # RAM estimate before preloading (reference interactive confirm,
+            # dataset.py:166-212; non-interactive here: warn + skip if the
+            # estimate exceeds 50% of available RAM).
+            est_bytes = len(self.samples) * img_size[0] * img_size[1] * channels
+            try:
+                import psutil
+
+                avail = psutil.virtual_memory().available
+            except ImportError:  # pragma: no cover
+                avail = None
+            if avail is not None and est_bytes > avail * 0.5:
+                logger.warning(
+                    "load_in_memory would use ~%.1f GB (>50%% of available %.1f GB); "
+                    "falling back to lazy loading",
+                    est_bytes / 1e9,
+                    avail / 1e9,
+                )
+            else:
+                self._cache = [self._load_image(i) for i in range(len(self.samples))]
 
     def __len__(self) -> int:
         return len(self.samples)

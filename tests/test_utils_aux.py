@@ -109,8 +109,20 @@ class TestLoggingUtils:
         logger.removeHandler(h)
         h.close()
 
-    def test_log_execution_params(self, caplog):
+    def test_log_execution_params(self):
+        # Package-root propagation is cut (absl/jax double-logging fix), so
+        # capture with an explicit handler on the logger itself.
+        records = []
+
+        class Capture(logging.Handler):
+            def emit(self, record):
+                records.append(record.getMessage())
+
         logger = get_logger("img2latex_tpu.test_exec")
-        with caplog.at_level(logging.INFO, "img2latex_tpu.test_exec"):
+        h = Capture()
+        logger.addHandler(h)
+        try:
             log_execution_params(logger, {"a": 1})
-        assert any("a: 1" in r.message for r in caplog.records)
+        finally:
+            logger.removeHandler(h)
+        assert any("a: 1" in m for m in records)
