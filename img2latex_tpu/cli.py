@@ -273,6 +273,10 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         from img2latex_tpu.analysis.visualize_predictions import visualize_cmd
 
         return visualize_cmd(args)
+    if tool == "site":
+        from img2latex_tpu.analysis.site import site_cmd
+
+        return site_cmd(args)
     raise SystemExit(f"Unknown analyze tool: {tool}")
 
 
@@ -406,6 +410,11 @@ def build_parser() -> argparse.ArgumentParser:
     av.add_argument("--num-samples", type=int, default=10)
     av.add_argument("--output-dir", default="outputs/analysis/predictions")
     av.set_defaults(func=cmd_analyze)
+
+    asite = an_sub.add_parser("site", help="Generate a static HTML project report")
+    asite.add_argument("--experiment", "-e", required=True)
+    asite.add_argument("--output-dir", default=None)
+    asite.set_defaults(func=cmd_analyze)
 
     return p
 

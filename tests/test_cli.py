@@ -131,3 +131,14 @@ class TestLifecycle:
     def test_visualize_and_debug_logs(self, workdir):
         assert main(["visualize", "-e", "cli_t", "--output-dir", str(workdir)]) == 0
         assert main(["debug-logs", "-e", "cli_t", "--output-dir", str(workdir), "--tail", "1"]) == 0
+
+
+class TestSite:
+    def test_site_generation(self, workdir):
+        rc = main(["analyze", "site", "-e", "cli_t", "--output-dir", str(workdir)])
+        assert rc == 0
+        page = workdir / "outputs" / "cli_t" / "reports" / "index.html"
+        text = page.read_text()
+        assert "Training metrics" in text
+        assert "val_bleu" in text
+        assert "Sample predictions" in text
