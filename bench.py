@@ -31,6 +31,15 @@ PER_CHIP_BASELINE = 5000.0 / 8.0  # north-star v5e-8 target, per chip
 
 def main() -> None:
     import jax
+
+    # Persistent compile cache: tunnel compiles run 2-5 minutes; warm runs
+    # (e.g. the driver's round-end invocation) then start in seconds.
+    import os
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from img2latex_tpu.config import Config
@@ -40,7 +49,7 @@ def main() -> None:
     from img2latex_tpu.parallel.mesh import create_mesh, put_batch, put_replicated
 
     n_dev = jax.device_count()
-    batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     B = batch_per_chip * n_dev
 
     cfg = Config()
