@@ -207,10 +207,13 @@ class Trainer:
                 )
             if step_ckpt_every and (int(self.state.step) % step_ckpt_every == 0):
                 self.save_checkpoint(epoch)
+        elapsed = time.time() - t0
+        n_images = n_batches * self.cfg.data.batch_size
         return {
             "train_loss": total_loss / max(n_batches, 1),
             "train_accuracy": total_correct / max(total_tokens, 1),
-            "train_time_s": time.time() - t0,
+            "train_time_s": elapsed,
+            "train_images_per_sec": n_images / elapsed if elapsed > 0 else 0.0,
             "steps": n_batches,
         }
 
@@ -317,6 +320,23 @@ class Trainer:
             if self.registry is not None:
                 # 1-based epoch keys, reference trainer.py:650-664.
                 self.registry.log_metrics(self.experiment_name, epoch + 1, epoch_metrics)
+            elif self.paths is not None and self.cfg.evaluation.save_basic_metrics:
+                # metrics.json is written even without a registry (reference
+                # trainer.py:650-664 writes it directly).
+                import json
+
+                mfile = self.paths.get_dir(self.experiment_name, "metrics") / "metrics.json"
+                data = {}
+                if mfile.exists():
+                    try:
+                        data = json.loads(mfile.read_text())
+                    except json.JSONDecodeError:
+                        data = {}
+                data.setdefault("steps", {})[str(epoch + 1)] = {
+                    "step": epoch + 1,
+                    **{k: float(v) for k, v in epoch_metrics.items() if isinstance(v, (int, float))},
+                }
+                mfile.write_text(json.dumps(data, indent=2))
 
             val_loss = val_metrics.get("val_loss", train_metrics["train_loss"])
             if self.scheduler.step(val_loss):

@@ -1,0 +1,76 @@
+import json
+import os
+
+import pytest
+
+from img2latex_tpu.config import Config
+from img2latex_tpu.data.pipeline import create_data_loaders, read_formulas
+from img2latex_tpu.data.synthetic import write_synthetic_corpus
+from img2latex_tpu.data.tokenizer import LaTeXTokenizer
+from img2latex_tpu.training.evaluator import evaluate_checkpoint
+from img2latex_tpu.training.trainer import Trainer
+from img2latex_tpu.utils.paths import PathManager
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(tmp_path_factory):
+    root = tmp_path_factory.mktemp("evalcorpus")
+    corpus = write_synthetic_corpus(str(root / "data"), n_train=16, n_val=8, n_test=8, seed=4)
+    cfg = Config()
+    cfg.data.data_dir = corpus
+    cfg.data.batch_size = 8
+    cfg.data.max_seq_length = 14
+    cfg.model.embedding_dim = 24
+    cfg.model.decoder.hidden_dim = 24
+    cfg.model.decoder.lstm_layers = 1
+    cfg.model.decoder.dropout = 0.0
+    cfg.model.encoder.cnn.img_height = 32
+    cfg.model.encoder.cnn.img_width = 64
+    cfg.model.encoder.cnn.conv_filters = [4]
+    cfg.training.epochs = 1
+    cfg.inference.max_length = 13
+    cfg.hardware.compute_dtype = "float32"
+    tok = LaTeXTokenizer(max_sequence_length=14)
+    tok.fit(read_formulas(os.path.join(corpus, "im2latex_formulas.norm.lst")))
+    paths = PathManager(str(root))
+    paths.outputs_dir.mkdir(parents=True, exist_ok=True)
+    t = Trainer(cfg, tok, create_data_loaders(cfg, tok), paths=paths, experiment_name="ev")
+    t.train()
+    return str(paths.get_dir("ev", "checkpoints")), corpus, root
+
+
+class TestEvaluator:
+    def test_greedy_eval(self, trained_ckpt, tmp_path):
+        ckpt, corpus, _ = trained_ckpt
+        out = evaluate_checkpoint(
+            ckpt, data_dir=corpus, split="test", output_dir=str(tmp_path)
+        )
+        assert out["num_images"] == 8
+        assert 0.0 <= out["bleu"] <= 1.0
+        assert out["images_per_second"] > 0
+        data = json.loads((tmp_path / "predictions.json").read_text())
+        assert len(data["predictions"]) == 8
+        assert all("reference" in r and "prediction" in r for r in data["predictions"])
+        # unshuffled eval keeps image names aligned
+        assert data["predictions"][0]["image"].endswith(".png")
+
+    def test_beam_eval(self, trained_ckpt):
+        ckpt, corpus, _ = trained_ckpt
+        out = evaluate_checkpoint(ckpt, data_dir=corpus, split="validate", beam_size=2)
+        assert out["decode"]["beam_size"] == 2
+        assert out["num_images"] == 8
+
+    def test_max_batches_cap(self, trained_ckpt):
+        ckpt, corpus, _ = trained_ckpt
+        out = evaluate_checkpoint(
+            ckpt, data_dir=corpus, split="train", batch_size=4, max_batches=2
+        )
+        assert out["num_images"] == 8  # 2 batches x 4
+
+    def test_train_throughput_metric(self, trained_ckpt):
+        _, _, root = trained_ckpt
+        metrics = json.loads(
+            (root / "outputs" / "ev" / "metrics" / "metrics.json").read_text()
+        )
+        step1 = metrics["steps"]["1"]
+        assert step1["train_images_per_sec"] > 0
