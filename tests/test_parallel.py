@@ -104,3 +104,52 @@ class TestShardedTraining:
         new_state, _ = sharded(state, batch, jax.random.PRNGKey(2))
         after = np.asarray(jax.tree_util.tree_leaves(jax.device_get(new_state.params))[0])
         assert not np.allclose(before, after)
+
+
+class TestShardedDecode:
+    """Data-parallel greedy decode across the mesh == single-device decode."""
+
+    def test_decode_sharded_matches_unsharded(self):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from img2latex_tpu.decoding.decode import DecodeConfig, greedy_sample_decode
+        from img2latex_tpu.models.seq2seq import Seq2SeqModel, build_model, init_decoder_carry
+        from img2latex_tpu.ops.preprocess import normalize_images
+
+        cfg = tiny_cfg()
+        vocab, B = 32, 16
+        model = build_model(cfg, vocab)
+        h, w, c = cfg.image_shape
+        images = jnp.asarray(
+            np.random.default_rng(0).integers(0, 256, size=(B, h, w, c), dtype=np.uint8)
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((2, h, w, c)), jnp.zeros((2, 5), jnp.int32)
+        )
+        dcfg = DecodeConfig(max_length=12, start_id=1, end_id=2, pad_id=0)
+
+        def decode(params, images_u8):
+            x = normalize_images(images_u8)
+            memory = model.apply(params, x, method=Seq2SeqModel.encode)
+
+            def step_fn(tokens, carry):
+                return model.apply(params, memory, tokens, carry, method=Seq2SeqModel.decode_step)
+
+            carry0 = init_decoder_carry(cfg.model.decoder.lstm_layers, B, cfg.model.decoder.hidden_dim)
+            return greedy_sample_decode(step_fn, carry0, B, dcfg)
+
+        ref = jax.jit(decode)(params, images)
+
+        mesh = create_mesh((-1, 1))
+        params_s = jax.device_put(params, NamedSharding(mesh, P()))
+        images_s = jax.device_put(images, NamedSharding(mesh, P("data")))
+        sharded = jax.jit(
+            decode,
+            in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))),
+            out_shardings=NamedSharding(mesh, P("data")),
+        )
+        got = sharded(params_s, images_s)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+        # output really is distributed over the data axis
+        assert len(got.sharding.device_set) == jax.device_count()
