@@ -178,7 +178,7 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
             probe = os.path.dirname(probe)
     result = evaluate_checkpoint(
         args.checkpoint,
-        data_dir=args.data_dir,
+        data_dir=args.data_dir or getattr(args, "data_dir_opt", None),
         split=args.split,
         beam_size=args.beam_size,
         max_length=args.max_length,
