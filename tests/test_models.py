@@ -234,3 +234,46 @@ class TestSeq2Seq:
         det = model.apply(params, images, targets)
         assert not np.allclose(np.asarray(a), np.asarray(b))
         assert not np.allclose(np.asarray(a), np.asarray(det))
+
+
+class TestLSTMGradients:
+    def test_grad_matches_torch(self):
+        """Backward pass parity: d(sum(y))/d(weights) == torch."""
+        torch = pytest.importorskip("torch")
+        B, T, In, H, L = 2, 4, 5, 6, 2
+        model = StackedLSTM(input_dim=In, hidden_dim=H, num_layers=L)
+        rng = np.random.default_rng(3)
+        xs = rng.normal(size=(B, T, In)).astype(np.float32)
+        params = model.init(jax.random.PRNGKey(1), jnp.array(xs))
+
+        def loss_fn(p, x):
+            ys, _ = model.apply(p, x)
+            return jnp.sum(ys)
+
+        grads = jax.grad(loss_fn)(params, jnp.array(xs))["params"]
+
+        tl = torch.nn.LSTM(In, H, num_layers=L, batch_first=True)
+        with torch.no_grad():
+            for layer in range(L):
+                p = params["params"]
+                getattr(tl, f"weight_ih_l{layer}").copy_(
+                    torch.tensor(np.array(p[f"W_ih_l{layer}"]).T)
+                )
+                getattr(tl, f"weight_hh_l{layer}").copy_(
+                    torch.tensor(np.array(p[f"W_hh_l{layer}"]).T)
+                )
+                getattr(tl, f"bias_ih_l{layer}").copy_(torch.tensor(np.array(p[f"b_ih_l{layer}"])))
+                getattr(tl, f"bias_hh_l{layer}").copy_(torch.tensor(np.array(p[f"b_hh_l{layer}"])))
+        out, _ = tl(torch.tensor(xs))
+        out.sum().backward()
+        for layer in range(L):
+            np.testing.assert_allclose(
+                np.asarray(grads[f"W_ih_l{layer}"]),
+                getattr(tl, f"weight_ih_l{layer}").grad.numpy().T,
+                atol=1e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(grads[f"b_hh_l{layer}"]),
+                getattr(tl, f"bias_hh_l{layer}").grad.numpy(),
+                atol=1e-4,
+            )
