@@ -219,3 +219,32 @@ class TestEndToEnd:
         r2 = pred.predict(as_pil)
         r3 = pred.predict(as_np)
         assert r1 == r2 == r3
+
+
+class TestGridMemory:
+    """End-to-end with model.memory=grid (non-degenerate attention)."""
+
+    def test_train_and_predict_grid(self, corpus, tmp_path):
+        cfg = tiny_config(corpus)
+        cfg.model.memory = "grid"
+        cfg.training.epochs = 1
+        tok = LaTeXTokenizer(max_sequence_length=cfg.data.max_seq_length)
+        tok.fit(read_formulas(os.path.join(corpus, "im2latex_formulas.norm.lst")))
+        loaders = create_data_loaders(cfg, tok)
+        paths = PathManager(str(tmp_path))
+        paths.outputs_dir.mkdir(parents=True, exist_ok=True)
+        trainer = Trainer(cfg, tok, loaders, paths=paths, experiment_name="grid_exp")
+        result = trainer.train()
+        assert np.isfinite(result["best_val_loss"])
+
+        from img2latex_tpu.training.predictor import Predictor
+
+        pred = Predictor.from_checkpoint(
+            str(paths.get_dir("grid_exp", "checkpoints")), batch_size=2
+        )
+        assert pred.cfg.model.memory == "grid"
+        img_dir = os.path.join(corpus, "img")
+        imgs = [os.path.join(img_dir, f) for f in sorted(os.listdir(img_dir))[:2]]
+        greedy = pred.predict_batch(imgs)
+        beam = pred.predict_batch(imgs, beam_size=2)
+        assert len(greedy) == 2 and len(beam) == 2
