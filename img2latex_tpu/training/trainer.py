@@ -183,30 +183,43 @@ class Trainer:
         loader = self.loaders["train"]
         if hasattr(loader, "set_epoch"):
             loader.set_epoch(epoch)
-        total_loss, total_correct, total_tokens, n_batches = 0.0, 0, 0, 0
         step_ckpt_every = self.cfg.training.save_checkpoint_steps
         t0 = time.time()
         self.rng, epoch_rng = jax.random.split(self.rng)
+        # Metrics accumulate ON DEVICE; the host fetches once per epoch (or at
+        # the log cadence).  A per-step float()/int() sync would serialize the
+        # pipeline — and on a tunneled TPU costs a ~25ms round trip per step.
+        totals = None
+        n_batches = 0
+        host_step = getattr(self, "_host_step", None)
+        if host_step is None:
+            host_step = int(self.state.step)
         for i, batch in enumerate(loader):
             device_batch = {
                 "images": jnp.asarray(batch["images"]),
                 "formulas": jnp.asarray(batch["formulas"]),
             }
             self.state, metrics = self.train_step(self.state, device_batch, epoch_rng)
-            total_loss += float(metrics["loss"])
-            total_correct += int(metrics["correct"])
-            total_tokens += int(metrics["total"])
+            acc = {k: metrics[k] for k in ("loss", "correct", "total")}
+            totals = acc if totals is None else jax.tree_util.tree_map(jnp.add, totals, acc)
             n_batches += 1
+            host_step += 1
             if (i + 1) % max(self.cfg.data.log_frequency, 1) == 0:
+                snap = jax.device_get(totals)  # single sync at log cadence
                 logger.info(
                     "epoch %d step %d loss %.4f acc %.4f",
                     epoch + 1,
-                    int(self.state.step),
-                    total_loss / n_batches,
-                    total_correct / max(total_tokens, 1),
+                    host_step,
+                    float(snap["loss"]) / n_batches,
+                    int(snap["correct"]) / max(int(snap["total"]), 1),
                 )
-            if step_ckpt_every and (int(self.state.step) % step_ckpt_every == 0):
+            if step_ckpt_every and (host_step % step_ckpt_every == 0):
                 self.save_checkpoint(epoch)
+        self._host_step = host_step
+        snap = jax.device_get(totals) if totals is not None else {"loss": 0.0, "correct": 0, "total": 0}
+        total_loss = float(snap["loss"])
+        total_correct = int(snap["correct"])
+        total_tokens = int(snap["total"])
         elapsed = time.time() - t0
         n_images = n_batches * self.cfg.data.batch_size
         return {
@@ -222,9 +235,9 @@ class Trainer:
         loader = self.loaders.get("validate")
         if loader is None:
             return {}
-        total_loss_tokens, total_correct, total_tokens, n_batches = 0.0, 0, 0, 0
-        bleu_preds, bleu_tgts = [], []
-        sample_probs = sample_preds = sample_tgts = None
+        totals = None
+        n_batches = 0
+        bleu_outs = []  # device outputs for the first bleu_batches (pulled once)
         ecfg = self.cfg.evaluation
         for i, batch in enumerate(loader):
             n_valid = int(batch.get("n_valid", batch["images"].shape[0]))
@@ -233,25 +246,33 @@ class Trainer:
                 "formulas": jnp.asarray(batch["formulas"]),
             }
             out = self.eval_step(self.state, device_batch)
-            total = int(out["total"])
-            total_loss_tokens += float(out["loss"]) * total
-            total_correct += int(out["correct"])
-            total_tokens += total
+            acc = {
+                "loss_tokens": out["loss"] * out["total"].astype(jnp.float32),
+                "correct": out["correct"],
+                "total": out["total"],
+            }
+            totals = acc if totals is None else jax.tree_util.tree_map(jnp.add, totals, acc)
             n_batches += 1
             if i < ecfg.bleu_batches:
-                pred_ids = np.asarray(out["pred_ids"])[:n_valid]
-                targets = np.asarray(batch["formulas"][:, 1:])[:n_valid]
-                p, t = _trim_batch_ids(
-                    pred_ids, targets, self.tokenizer.pad_token_id, self.tokenizer.end_token_id
-                )
-                bleu_preds.extend(p)
-                bleu_tgts.extend(t)
-                if sample_probs is None:
-                    sample_probs = np.asarray(out["probs_max"])[:n_valid]
-                    sample_preds = pred_ids
-                    sample_tgts = targets
-        val_loss = total_loss_tokens / max(total_tokens, 1)
-        val_acc = total_correct / max(total_tokens, 1)
+                bleu_outs.append((out["pred_ids"], out["probs_max"], batch["formulas"], n_valid))
+        snap = jax.device_get(totals) if totals is not None else {"loss_tokens": 0.0, "correct": 0, "total": 0}
+        total_tokens = int(snap["total"])
+        bleu_preds, bleu_tgts = [], []
+        sample_probs = sample_preds = sample_tgts = None
+        for pred_dev, probs_dev, formulas, n_valid in bleu_outs:
+            pred_ids = np.asarray(pred_dev)[:n_valid]
+            targets = np.asarray(formulas[:, 1:])[:n_valid]
+            p, t = _trim_batch_ids(
+                pred_ids, targets, self.tokenizer.pad_token_id, self.tokenizer.end_token_id
+            )
+            bleu_preds.extend(p)
+            bleu_tgts.extend(t)
+            if sample_probs is None:
+                sample_probs = np.asarray(probs_dev)[:n_valid]
+                sample_preds = pred_ids
+                sample_tgts = targets
+        val_loss = float(snap["loss_tokens"]) / max(total_tokens, 1)
+        val_acc = int(snap["correct"]) / max(total_tokens, 1)
         quality = calculate_metrics(bleu_preds, bleu_tgts, ecfg.bleu_n) if bleu_preds else {
             "bleu": 0.0,
             "levenshtein": 0.0,
