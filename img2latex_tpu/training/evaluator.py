@@ -71,6 +71,7 @@ def evaluate_checkpoint(
     all_preds, all_tgts, rows = [], [], []
     n_images = 0
     decode_s = 0.0
+    first_batch_s = 0.0  # includes XLA compile; excluded from throughput
     run = None
     rng = jax.random.PRNGKey(0)
     sample_offset = 0
@@ -88,7 +89,10 @@ def evaluate_checkpoint(
             np.asarray(tokens)[:n_valid], tok.end_token_id, tok.pad_token_id,
             start_id=tok.start_token_id,
         )
-        decode_s += time.perf_counter() - t0
+        if bi == 0:
+            first_batch_s = time.perf_counter() - t0
+        else:
+            decode_s += time.perf_counter() - t0
         tgt_ids = trim_host(
             np.asarray(batch["formulas"])[:n_valid, 1:],  # strip START
             tok.end_token_id,
@@ -118,8 +122,14 @@ def evaluate_checkpoint(
         "bleu": quality["bleu"],
         "levenshtein": quality["levenshtein"],
         "token_accuracy": correct / total if total else 0.0,
-        "decode_seconds": decode_s,
-        "images_per_second": n_images / decode_s if decode_s > 0 else 0.0,
+        "decode_seconds": decode_s + first_batch_s,
+        "compile_and_first_batch_seconds": first_batch_s,
+        # steady-state throughput (first batch carries the XLA compile)
+        "images_per_second": (
+            (n_images - (min(n_images, loader.batch_size))) / decode_s
+            if decode_s > 0
+            else n_images / max(first_batch_s, 1e-9)
+        ),
         "decode": {
             "beam_size": dcfg.beam_size,
             "temperature": dcfg.temperature,
