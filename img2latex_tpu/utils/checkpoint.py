@@ -59,13 +59,21 @@ def _prune(ckpt_dir: Path, keep: int) -> None:
         shutil.rmtree(ckpt_dir / f"step_{s}", ignore_errors=True)
 
 
+def _is_complete(step_dir: Path) -> bool:
+    """A usable checkpoint has its state subdir with Orbax's metadata inside
+    (an interrupted save leaves a partial directory)."""
+    state = step_dir / _STATE_SUBDIR
+    return state.is_dir() and any(state.iterdir())
+
+
 def _list_steps(ckpt_dir: Path) -> list:
     if not ckpt_dir.exists():
         return []
     out = []
     for p in ckpt_dir.iterdir():
         if p.is_dir() and p.name.startswith("step_") and p.name[5:].isdigit():
-            out.append(int(p.name[5:]))
+            if _is_complete(p):
+                out.append(int(p.name[5:]))
     return out
 
 

@@ -126,3 +126,19 @@ class TestLoggingUtils:
         finally:
             logger.removeHandler(h)
         assert any("a: 1" in m for m in records)
+
+
+class TestCheckpointRobustness:
+    def test_incomplete_checkpoint_skipped(self, tmp_path):
+        import jax.numpy as jnp
+
+        from img2latex_tpu.utils import checkpoint as ck
+
+        tree = {"w": jnp.arange(4.0)}
+        ck.save_checkpoint(tmp_path, tree, {"epoch": 1}, step=10)
+        # simulate an interrupted later save: step dir without state payload
+        (tmp_path / "step_20").mkdir()
+        (tmp_path / "step_20" / "state").mkdir()
+        assert ck.latest_step(tmp_path) == 10
+        state, meta = ck.restore_checkpoint(tmp_path)
+        assert meta["epoch"] == 1
