@@ -142,3 +142,69 @@ class TestSite:
         assert "Training metrics" in text
         assert "val_bleu" in text
         assert "Sample predictions" in text
+
+
+class TestAnalyzeSuiteFull:
+    """The remaining analyze tools (images/project/curves/preprocess/metrics/
+    report) driven through the CLI on real artifacts."""
+
+    def test_images(self, workdir):
+        out = workdir / "an2" / "images"
+        rc = main(["analyze", "images", "--data-dir", str(workdir / "data"),
+                   "--num-samples", "10", "--output-dir", str(out)])
+        assert rc == 0
+        stats = json.loads((out / "image_stats.json").read_text())
+        assert stats["num_analyzed"] == 10
+        assert (out / "image_grid.png").exists()
+
+    def test_project_valid_config(self, workdir):
+        out = workdir / "an2" / "project"
+        rc = main(["analyze", "project", "--config", str(workdir / "cfg.yaml"),
+                   "--check", "all", "--output-dir", str(out)])
+        assert rc == 0
+        report = json.loads((out / "project_report.json").read_text())
+        assert report["config"]["valid"]
+        assert report["files"]["all_present"]
+        assert (out / "environment.txt").exists()
+
+    def test_project_detects_missing_files(self, workdir, tmp_path):
+        import yaml as _yaml
+
+        cfg = _yaml.safe_load((workdir / "cfg.yaml").read_text())
+        cfg["data"]["data_dir"] = str(tmp_path / "nowhere")
+        bad = tmp_path / "bad.yaml"
+        bad.write_text(_yaml.safe_dump(cfg))
+        rc = main(["analyze", "project", "--config", str(bad), "--check", "files",
+                   "--output-dir", str(tmp_path / "out")])
+        assert rc == 1
+
+    def test_curves(self, workdir):
+        out = workdir / "an2" / "curves"
+        rc = main(["analyze", "curves", "-e", "cli_t",
+                   "--metrics-file", str(workdir / "outputs" / "cli_t" / "metrics" / "metrics.json"),
+                   "--output-dir", str(out), "--smoothing", "0.5"])
+        assert rc == 0
+        assert list(out.glob("curve_*.png"))
+
+    def test_preprocess(self, workdir):
+        img = sorted((workdir / "data" / "img").iterdir())[0]
+        out = workdir / "an2" / "pre"
+        rc = main(["analyze", "preprocess", "--image", str(img), "--output-dir", str(out)])
+        assert rc == 0
+        assert (out / "preprocessing.png").exists()
+
+    def test_metrics_actions(self, workdir, capsys):
+        assert main(["analyze", "metrics", "visualize", "-e", "cli_t",
+                     "--output-dir", str(workdir)]) == 0
+        assert main(["analyze", "metrics", "latest", "-e", "cli_t",
+                     "--output-dir", str(workdir)]) == 0
+        assert main(["analyze", "metrics", "export", "-e", "cli_t", "--format", "json",
+                     "--output-dir", str(workdir)]) == 0
+        assert "epoch" in capsys.readouterr().out
+
+    def test_report_figures(self, workdir, monkeypatch):
+        monkeypatch.chdir(workdir)
+        out = workdir / "an2" / "report"
+        rc = main(["analyze", "report", "-e", "cli_t", "--output-dir", str(out)])
+        assert rc == 0
+        assert (out / "report_composite.png").exists()
