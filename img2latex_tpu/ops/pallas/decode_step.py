@@ -223,6 +223,108 @@ def pallas_greedy_decode(
     return jnp.swapaxes(tokens_t, 0, 1)
 
 
+def _full_decode_kernel(
+    num_layers: int,
+    max_length: int,
+    start_id: int,
+    end_id: int,
+    pad_id: int,
+    *refs,
+):
+    """Entire greedy decode loop in ONE kernel: weights stay VMEM-resident
+    across all ``max_length`` steps (no per-step HBM weight reloads, no
+    per-step XLA scan bookkeeping).
+
+    refs: [ctx (B,E)] [emb (Vp,E)] [w_ih_i w_hh_i b_i]*L [w_out (H,Vp)]
+          [b_out (1,Vp)] -> out [tokens (B,T) i32],
+    scratch: h (L,B,H), c (L,B,H)
+    """
+    ctx_ref = refs[0]
+    emb_ref = refs[1]
+    idx = 2
+    layer_refs = []
+    for _ in range(num_layers):
+        layer_refs.append((refs[idx], refs[idx + 1], refs[idx + 2]))
+        idx += 3
+    w_out_ref, b_out_ref = refs[idx], refs[idx + 1]
+    out_ref = refs[idx + 2]
+    h_ref, c_ref = refs[idx + 3], refs[idx + 4]
+
+    B = ctx_ref.shape[0]
+    Vp = emb_ref.shape[0]
+    dtype = emb_ref.dtype
+
+    h_ref[...] = jnp.zeros_like(h_ref)
+    c_ref[...] = jnp.zeros_like(c_ref)
+    ctx = ctx_ref[:]
+
+    def body(t, state):
+        tokens, finished = state  # (B, 1) i32, (B, 1) bool
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+        onehot = (col == tokens).astype(dtype)
+        x = jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
+        x = jnp.concatenate([x.astype(dtype), ctx], axis=-1)
+        for layer, (w_ih_ref, w_hh_ref, b_ref) in enumerate(layer_refs):
+            gates = (
+                jnp.dot(x, w_ih_ref[:], preferred_element_type=jnp.float32)
+                + jnp.dot(h_ref[layer], w_hh_ref[:], preferred_element_type=jnp.float32)
+                + b_ref[:]
+            )
+            i_g, f_g, g_g, o_g = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f_g) * c_ref[layer].astype(jnp.float32) + jax.nn.sigmoid(
+                i_g
+            ) * jnp.tanh(g_g)
+            h_new = jax.nn.sigmoid(o_g) * jnp.tanh(c_new)
+            h_ref[layer] = h_new.astype(dtype)
+            c_ref[layer] = c_new.astype(dtype)
+            x = h_new.astype(dtype)
+        logits = jnp.dot(x, w_out_ref[:], preferred_element_type=jnp.float32) + b_out_ref[:]
+        nxt = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+        out_tok = jnp.where(finished, jnp.int32(pad_id), nxt)
+        finished = jnp.logical_or(finished, out_tok == end_id)
+        out_ref[:, pl.ds(t, 1)] = out_tok
+        return out_tok, finished
+
+    tokens0 = jnp.full((B, 1), start_id, jnp.int32)
+    finished0 = jnp.zeros((B, 1), bool)
+    jax.lax.fori_loop(0, max_length, body, (tokens0, finished0))
+
+
+def pallas_full_greedy_decode(
+    packed: Dict[str, Any],
+    context: jnp.ndarray,
+    max_length: int,
+    start_id: int,
+    end_id: int,
+    pad_id: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-decode-in-one-kernel variant of :func:`pallas_greedy_decode`."""
+    B = context.shape[0]
+    L = int(packed["num_layers"])
+    H = int(packed["hidden_dim"])
+    dtype = packed["emb"].dtype
+    kernel = functools.partial(
+        _full_decode_kernel, L, max_length, start_id, end_id, pad_id
+    )
+    weight_args: List[jnp.ndarray] = [packed["emb"]]
+    for i in range(L):
+        weight_args += [packed[f"w_ih_{i}"], packed[f"w_hh_{i}"], packed[f"b_{i}"].reshape(1, -1)]
+    weight_args += [packed["w_out"], packed["b_out"].reshape(1, -1)]
+    n_inputs = 1 + len(weight_args)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, max_length), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_inputs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((L, B, H), dtype),
+            pltpu.VMEM((L, B, H), dtype),
+        ],
+        interpret=interpret,
+    )(context.astype(dtype), *weight_args)
+
+
 def vmem_bytes_estimate(packed: Dict[str, Any], batch: int) -> int:
     """Rough VMEM footprint of one kernel invocation (weights + IO)."""
     itemsize = jnp.dtype(packed["emb"].dtype).itemsize

@@ -85,3 +85,19 @@ class TestKernelParity:
         ref = greedy_sample_decode(step_fn, init_decoder_carry(2, B, 128), B, dcfg)
         got = pallas_greedy_decode(packed, memory[:, 0, :], 20, 1, 2, 0, interpret=True)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+class TestFullLoopKernel:
+    def test_full_loop_matches_scan_path(self, setup):
+        from img2latex_tpu.ops.pallas.decode_step import pallas_full_greedy_decode
+
+        cfg, model, params, memory, packed, V = setup
+        B = memory.shape[0]
+
+        def step_fn(tokens, carry):
+            return model.apply(params, memory, tokens, carry, method=Seq2SeqModel.decode_step)
+
+        dcfg = DecodeConfig(max_length=20, start_id=1, end_id=2, pad_id=0)
+        ref = greedy_sample_decode(step_fn, init_decoder_carry(2, B, 128), B, dcfg)
+        got = pallas_full_greedy_decode(packed, memory[:, 0, :], 20, 1, 2, 0, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
