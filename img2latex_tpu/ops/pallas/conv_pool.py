@@ -23,19 +23,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_pool_kernel(H: int, W: int, Cin: int, Cout: int, x_ref, k_ref, out_ref):
-    """One image: x (1, H, W, Cin), k (9*Cin, Cout) -> out (1, H/2, W/2, Cout)."""
+def _conv_pool_kernel(H: int, W: int, Cin: int, Cout: int, x_ref, k_ref, out_ref, pat_ref):
+    """One image: x (1, H, W, Cin), k (9*Cin, Cout) -> out (1, H/2, W/2, Cout).
+
+    im2col patches are STORED into a VMEM scratch (Mosaic cannot concatenate
+    shifted slices directly: "offset mismatch on non-concat dimension"), then
+    contracted in one MXU matmul.
+    """
     x = x_ref[0]  # (H, W, Cin)
     dtype = x.dtype
-    # SAME padding halo.
-    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
-    # im2col: 9 spatial shifts stacked into the contraction dim.
-    patches = []
+    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))  # SAME halo
     for u in range(3):
         for v in range(3):
-            patches.append(jax.lax.slice(xp, (u, v, 0), (u + H, v + W, Cin)))
-    pat = jnp.concatenate(patches, axis=-1)  # (H, W, 9*Cin)
-    pat = pat.reshape(H * W, 9 * Cin)
+            idx = u * 3 + v
+            pat_ref[:, :, idx * Cin : (idx + 1) * Cin] = jax.lax.slice(
+                xp, (u, v, 0), (u + H, v + W, Cin)
+            )
+    pat = pat_ref[:].reshape(H * W, 9 * Cin)
     y = jnp.dot(pat, k_ref[:], preferred_element_type=jnp.float32)  # (H*W, Cout)
     y = jnp.maximum(y, 0.0).astype(dtype)
     y = y.reshape(H // 2, 2, W // 2, 2, Cout)
@@ -65,5 +69,6 @@ def fused_conv_relu_pool(x: jnp.ndarray, kernel: jnp.ndarray, interpret: bool = 
             (1, H // 2, W // 2, Cout), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, H // 2, W // 2, Cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((H, W, 9 * Cin), x.dtype)],
         interpret=interpret,
     )(x, k2d)
