@@ -47,6 +47,55 @@ def _conv_pool_kernel(H: int, W: int, Cin: int, Cout: int, x_ref, k_ref, out_ref
     out_ref[0] = y
 
 
+def _conv1_pool_kernel(H: int, W: int, Cout: int, x_ref, k_ref, out_ref, pat_ref):
+    """Single-input-channel variant with W in the lane dimension.
+
+    A channel-last layout with Cin=1 pads every VMEM buffer's lane dim from
+    1 to 128 (measured 86 MB for a 64x800 image — over the 16 MB budget), so
+    this kernel squeezes the channel: x (1, H, W); patches land in a
+    (H, 9, W) scratch; a batched-over-H matmul (Cout, 9) x (9, W) contracts
+    the taps; pool + transpose produce the channel-last output block.
+    """
+    x = x_ref[0]  # (H, W)
+    dtype = x.dtype
+    xp = jnp.pad(x, ((1, 1), (1, 1)))
+    for u in range(3):
+        for v in range(3):
+            pat_ref[:, u * 3 + v, :] = jax.lax.slice(xp, (u, v), (u + H, v + W))
+    pat = pat_ref[:]  # (H, 9, W)
+    k = k_ref[:]  # (Cout, 9)
+    kb = jnp.broadcast_to(k[None], (H, Cout, 9))
+    # batched matmul over H: (Cout, 9) @ (9, W) -> (H, Cout, W)
+    y = jax.lax.dot_general(
+        kb, pat, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    y = jnp.maximum(y, 0.0).astype(dtype)
+    y = y.reshape(H // 2, 2, Cout, W // 2, 2)
+    y = jnp.max(jnp.max(y, axis=4), axis=1)  # (H/2, Cout, W/2)
+    out_ref[0] = jnp.transpose(y, (0, 2, 1))  # (H/2, W/2, Cout)
+
+
+def _fused_conv1(x: jnp.ndarray, kernel: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    B, H, W, _ = x.shape
+    Cout = kernel.shape[-1]
+    k2d = kernel.reshape(9, Cout).T.astype(x.dtype)  # (Cout, 9), taps (u,v) ordered
+    kern = functools.partial(_conv1_pool_kernel, H, W, Cout)
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cout, 9), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H // 2, W // 2, Cout), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H // 2, W // 2, Cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((H, 9, W), x.dtype)],
+        interpret=interpret,
+    )(x[..., 0], k2d)
+
+
 def fused_conv_relu_pool(x: jnp.ndarray, kernel: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """x (B, H, W, Cin) NHWC, kernel (3, 3, Cin, Cout) HWIO ->
     (B, H//2, W//2, Cout); equivalent to conv(SAME) -> relu -> maxpool(2,2)."""
@@ -54,6 +103,8 @@ def fused_conv_relu_pool(x: jnp.ndarray, kernel: jnp.ndarray, interpret: bool = 
     Cout = kernel.shape[-1]
     assert kernel.shape[:3] == (3, 3, Cin), f"expected (3,3,{Cin},Cout), got {kernel.shape}"
     assert H % 2 == 0 and W % 2 == 0, "H and W must be even for 2x2 pooling"
+    if Cin == 1:
+        return _fused_conv1(x, kernel, interpret)
     # (3,3,Cin,Cout) -> (9*Cin, Cout) with rows ordered (u, v, cin) to match
     # the kernel's patch concatenation order.
     k2d = kernel.reshape(9 * Cin, Cout).astype(x.dtype)
