@@ -1,12 +1,20 @@
-"""Fused conv3x3(SAME) + ReLU + maxpool2x2 Pallas kernel.
+"""Fused conv3x3(SAME) + ReLU + maxpool2x2 Pallas kernel.  [EXPERIMENTAL]
 
-The encoder's perf cliff is HBM traffic, not FLOPs: XLA materializes each
-pre-pool activation map at full resolution (e.g. conv1 at 64x800x32 = 3.3 GB
-per 1024-batch, written then re-read by the pool — measured 13.9 ms for a
-30 GFLOP convolution).  This kernel computes a (image, W-tile) block per grid
-program entirely in VMEM: 3x3 im2col patches into a scratch buffer, one MXU
-matmul ``(H*Wt, 9*Cin) @ (9*Cin, Cout)``, ReLU, 2x2 max-pool — only the
-pooled output returns to HBM.
+Motivation: the encoder's perf cliff is HBM traffic, not FLOPs — XLA
+materializes each pre-pool activation map at full resolution (conv1 at
+64x800x32 = 3.3 GB per 1024-batch; measured 13.9 ms for a 30 GFLOP conv).
+This kernel computes a (image, W-tile) block per grid program entirely in
+VMEM: 3x3 im2col patches into a scratch buffer, one MXU matmul
+``(H*Wt, 9*Cin) @ (9*Cin, Cout)``, ReLU, 2x2 max-pool — only the pooled
+output returns to HBM.
+
+STATUS: bit-exact vs the XLA path at production shapes on a v5e chip, but
+NOT faster — measured 60.8 ms vs XLA's 9.4 ms for conv2 and 17.4 vs 6.5 ms
+for conv3 at B=1024 (the nine per-tap VMEM patch copies out-cost the saved
+HBM round trip, and Cin=1 inputs force 128x lane padding that caps tile
+sizes).  Kept as a correctness-tested building block; the production encoder
+uses the XLA convolutions.  Round-2 direction: build patches via lane rolls
+in a W-in-lanes layout instead of slice stores.
 
 W-tiling keeps VMEM bounded (a full 64x800 single-channel image would pad
 the Cin=1 lane dim 128x and blow the 16 MB budget); the +-1 column halo each
