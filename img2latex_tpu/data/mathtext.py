@@ -1,0 +1,144 @@
+"""Realistic corpus generation: random LaTeX formulas rendered by mathtext.
+
+A step up from the glyph-barcode corpus (``synthetic.py``): formulas are
+sampled from a small LaTeX grammar (fractions, sub/superscripts, radicals,
+greek, operators — the IM2LaTeX token distribution's main families) and
+rendered to real anti-aliased images by matplotlib's mathtext engine.  The
+result exercises the genuine pipeline difficulty: variable-width images,
+aspect-ratio geometry, token-image alignment learned from pixels.
+
+Written in the exact IM2LaTeX artifact layout (``.lst`` splits + formulas
+file + ``img/``), so the standard CLI/training path consumes it unchanged.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from img2latex_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+ATOMS = list("abcxyznmk") + ["0", "1", "2", "3", "4", "5", "7", "9"]
+GREEK = ["\\alpha", "\\beta", "\\gamma", "\\lambda", "\\mu", "\\pi", "\\sigma", "\\theta", "\\omega", "\\phi"]
+BINOPS = ["+", "-", "="]
+FUNCS = ["\\sin", "\\cos", "\\log"]
+
+
+def _atom(rng) -> List[str]:
+    r = rng.random()
+    if r < 0.7:
+        return [str(rng.choice(ATOMS))]
+    return [str(rng.choice(GREEK))]
+
+
+def _unit(rng, depth: int) -> List[str]:
+    """One visual unit: atom, scripted atom, frac, sqrt or function call."""
+    r = rng.random()
+    if depth >= 2 or r < 0.45:
+        toks = _atom(rng)
+    elif r < 0.6:  # sub/superscript
+        base = _atom(rng)
+        script = "_" if rng.random() < 0.5 else "^"
+        toks = base + [script, "{", *_atom(rng), "}"]
+    elif r < 0.75:  # fraction
+        toks = ["\\frac", "{", *_expr(rng, depth + 1, max_units=2), "}",
+                "{", *_expr(rng, depth + 1, max_units=2), "}"]
+    elif r < 0.85:  # sqrt
+        toks = ["\\sqrt", "{", *_expr(rng, depth + 1, max_units=2), "}"]
+    else:  # function
+        toks = [str(rng.choice(FUNCS)), "(", *_atom(rng), ")"]
+    return toks
+
+
+def _expr(rng, depth: int = 0, max_units: Optional[int] = None) -> List[str]:
+    n = int(rng.integers(1, (max_units or 4) + 1))
+    out = _unit(rng, depth)
+    for _ in range(n - 1):
+        out += [str(rng.choice(BINOPS))] + _unit(rng, depth)
+    return out
+
+
+def random_latex_formulas(n: int, seed: int = 0, max_tokens: int = 40) -> List[str]:
+    rng = np.random.default_rng(seed)
+    out = []
+    while len(out) < n:
+        toks = _expr(rng, 0)
+        if rng.random() < 0.5:
+            toks += [str(rng.choice(BINOPS))] + _expr(rng, 0)
+        if len(toks) <= max_tokens:
+            out.append(" ".join(toks))
+    return out
+
+
+def render_mathtext(formula_tokens: str, fontsize: int = 22, dpi: int = 100) -> np.ndarray:
+    """Render a whitespace-tokenized LaTeX formula to a grayscale uint8 array
+    (white background), via matplotlib mathtext (no TeX needed)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import mathtext
+
+    # mathtext wants compact LaTeX (no spaces needed, but they are harmless
+    # except inside commands): join with spaces is fine.
+    expr = "$" + formula_tokens + "$"
+    buf = io.BytesIO()
+    mathtext.math_to_image(expr, buf, dpi=dpi, format="png", prop=None)
+    buf.seek(0)
+    from PIL import Image
+
+    img = Image.open(buf).convert("L")
+    return np.asarray(img, dtype=np.uint8)
+
+
+def write_mathtext_corpus(
+    root: str,
+    n_train: int = 512,
+    n_val: int = 64,
+    n_test: int = 64,
+    seed: int = 0,
+    fontsize: int = 22,
+) -> Tuple[str, int]:
+    """Write a rendered-LaTeX corpus in the IM2LaTeX layout; returns
+    (root, n_failed).  Formulas that mathtext rejects are re-sampled."""
+    from PIL import Image
+
+    os.makedirs(os.path.join(root, "img"), exist_ok=True)
+    total = n_train + n_val + n_test
+    formulas: List[str] = []
+    images: List[np.ndarray] = []
+    rng_seed = seed
+    failed = 0
+    while len(formulas) < total:
+        batch = random_latex_formulas(total - len(formulas) + 8, seed=rng_seed)
+        rng_seed += 1
+        for f in batch:
+            if len(formulas) >= total:
+                break
+            try:
+                arr = render_mathtext(f, fontsize=fontsize)
+                if arr.shape[0] < 8 or arr.shape[1] < 8:
+                    raise ValueError("degenerate render")
+                formulas.append(f)
+                images.append(arr)
+            except Exception:
+                failed += 1
+    with open(os.path.join(root, "im2latex_formulas.norm.lst"), "w") as fh:
+        fh.write("\n".join(formulas) + "\n")
+    counts = {"train": n_train, "validate": n_val, "test": n_test}
+    idx = 0
+    for split, count in counts.items():
+        lines = []
+        for _ in range(count):
+            name = f"mt_{idx:06d}"
+            Image.fromarray(images[idx], mode="L").save(os.path.join(root, "img", f"{name}.png"))
+            lines.append(f"{name}.png {idx}")
+            idx += 1
+        with open(os.path.join(root, f"im2latex_{split}_filter.lst"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    logger.info("Wrote mathtext corpus: %d formulas (%d render failures)", total, failed)
+    return root, failed

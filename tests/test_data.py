@@ -215,3 +215,32 @@ class TestPipeline:
         # eval batch = min(4*2, 128) = 8
         vb = next(iter(loaders["validate"]))
         assert vb["images"].shape[0] == 8
+
+
+class TestMathtext:
+    def test_formula_grammar(self):
+        from img2latex_tpu.data.mathtext import random_latex_formulas
+
+        fs = random_latex_formulas(20, seed=0)
+        assert len(fs) == 20
+        for f in fs:
+            toks = f.split()
+            assert toks, "empty formula"
+            assert f.count("{") == f.count("}"), f"unbalanced braces in {f!r}"
+
+    def test_render(self):
+        from img2latex_tpu.data.mathtext import render_mathtext
+
+        arr = render_mathtext("\\frac { a } { b } + x ^ { 2 }")
+        assert arr.ndim == 2 and arr.dtype == np.uint8
+        assert arr.min() < 128 < arr.max()  # has ink and paper
+
+    def test_corpus_layout(self, tmp_path):
+        from img2latex_tpu.data.mathtext import write_mathtext_corpus
+        from img2latex_tpu.data.pipeline import parse_split_file, read_formulas
+
+        root, failed = write_mathtext_corpus(str(tmp_path), 6, 2, 2, seed=1)
+        formulas = read_formulas(str(tmp_path / "im2latex_formulas.norm.lst"))
+        assert len(formulas) == 10
+        pairs = parse_split_file(str(tmp_path / "im2latex_train_filter.lst"), 10)
+        assert len(pairs) == 6
