@@ -56,10 +56,12 @@ def _unit(rng, depth: int) -> List[str]:
 
 
 def _expr(rng, depth: int = 0, max_units: Optional[int] = None) -> List[str]:
+    # "=" only reads naturally at the top level; nested expressions use +/-.
+    ops = BINOPS if depth == 0 else ["+", "-"]
     n = int(rng.integers(1, (max_units or 4) + 1))
     out = _unit(rng, depth)
     for _ in range(n - 1):
-        out += [str(rng.choice(BINOPS))] + _unit(rng, depth)
+        out += [str(rng.choice(ops))] + _unit(rng, depth)
     return out
 
 
