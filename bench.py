@@ -49,7 +49,7 @@ def main() -> None:
     from img2latex_tpu.parallel.mesh import create_mesh, put_batch, put_replicated
 
     n_dev = jax.device_count()
-    batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 3072
     B = batch_per_chip * n_dev
 
     cfg = Config()
