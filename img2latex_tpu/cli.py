@@ -139,21 +139,45 @@ def cmd_train(args: argparse.Namespace) -> int:
 def cmd_predict(args: argparse.Namespace) -> int:
     from img2latex_tpu.training.predictor import Predictor
 
-    predictor = Predictor.from_checkpoint(args.checkpoint)
+    # Expand: each positional may be a file or a directory of images.
+    images: List[str] = []
+    for item in args.image:
+        if os.path.isdir(item):
+            images += sorted(
+                os.path.join(item, f)
+                for f in os.listdir(item)
+                if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp", ".gif"))
+            )
+        else:
+            images.append(item)
+    if not images:
+        raise SystemExit("No images found")
+    predictor = Predictor.from_checkpoint(args.checkpoint, batch_size=args.batch_size)
     log_execution_params(
         logger,
-        {"command": "predict", "checkpoint": args.checkpoint, "image": args.image,
+        {"command": "predict", "checkpoint": args.checkpoint, "images": len(images),
          "beam_size": args.beam_size},
     )
-    latex = predictor.predict(
-        args.image,
+    options = dict(
         beam_size=args.beam_size,
         max_length=args.max_length,
         temperature=args.temperature,
         top_k=args.top_k,
         top_p=args.top_p,
     )
-    print(latex)
+    if len(images) == 1:
+        print(predictor.predict(images[0], **options))
+        return 0
+    results = predictor.predict_batch(images, **options)
+    rows = [{"image": img, "prediction": latex} for img, latex in zip(images, results)]
+    if args.output:
+        os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
+        with open(args.output, "w") as f:
+            json.dump({"predictions": rows}, f, indent=2)
+        print(f"Wrote {len(rows)} predictions to {args.output}")
+    else:
+        for row in rows:
+            print(f"{row['image']}\t{row['prediction']}")
     return 0
 
 
@@ -305,14 +329,16 @@ def build_parser() -> argparse.ArgumentParser:
     t.set_defaults(func=cmd_train)
 
     # predict
-    pr = sub.add_parser("predict", help="Predict LaTeX for one image")
+    pr = sub.add_parser("predict", help="Predict LaTeX for images (files or directories)")
     pr.add_argument("checkpoint")
-    pr.add_argument("image")
+    pr.add_argument("image", nargs="+", help="Image file(s) and/or director(ies)")
     pr.add_argument("--beam-size", type=int, default=None)
     pr.add_argument("--max-length", type=int, default=None)
     pr.add_argument("--temperature", type=float, default=None)
     pr.add_argument("--top-k", type=int, default=None)
     pr.add_argument("--top-p", type=float, default=None)
+    pr.add_argument("--batch-size", type=int, default=16)
+    pr.add_argument("--output", "-o", default=None, help="Write predictions JSON here")
     pr.set_defaults(func=cmd_predict)
 
     # evaluate

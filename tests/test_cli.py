@@ -208,3 +208,31 @@ class TestAnalyzeSuiteFull:
         rc = main(["analyze", "report", "-e", "cli_t", "--output-dir", str(out)])
         assert rc == 0
         assert (out / "report_composite.png").exists()
+
+
+class TestBatchPredict:
+    def test_predict_directory_to_file(self, workdir):
+        exp_dir = workdir / "outputs" / "cli_t"
+        out_file = workdir / "batch_preds.json"
+        rc = main([
+            "predict", str(exp_dir / "checkpoints"), str(workdir / "data" / "img"),
+            "--batch-size", "4", "-o", str(out_file),
+        ])
+        assert rc == 0
+        data = json.loads(out_file.read_text())
+        assert len(data["predictions"]) == 40  # 24+8+8 corpus images
+        assert all("image" in r and "prediction" in r for r in data["predictions"])
+
+    def test_predict_multiple_files_stdout(self, workdir, capsys):
+        exp_dir = workdir / "outputs" / "cli_t"
+        imgs = [str(p) for p in sorted((workdir / "data" / "img").iterdir())[:2]]
+        rc = main(["predict", str(exp_dir / "checkpoints"), *imgs])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 2
+        assert all("\t" in line for line in out)
+
+    def test_predict_empty_dir_errors(self, workdir, tmp_path):
+        exp_dir = workdir / "outputs" / "cli_t"
+        with pytest.raises(SystemExit):
+            main(["predict", str(exp_dir / "checkpoints"), str(tmp_path)])

@@ -1,0 +1,98 @@
+"""Dynamic-batching inference server."""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from img2latex_tpu.serving import InferenceServer
+
+
+@pytest.fixture(scope="module")
+def predictor(tmp_path_factory):
+    """Tiny trained predictor (reuses the training fixtures' recipe)."""
+    import jax
+
+    from img2latex_tpu.config import Config
+    from img2latex_tpu.data.pipeline import create_data_loaders, read_formulas
+    from img2latex_tpu.data.synthetic import write_synthetic_corpus
+    from img2latex_tpu.data.tokenizer import LaTeXTokenizer
+    from img2latex_tpu.training.predictor import Predictor
+    from img2latex_tpu.training.trainer import Trainer
+    from img2latex_tpu.utils.paths import PathManager
+
+    root = tmp_path_factory.mktemp("servecorpus")
+    corpus = write_synthetic_corpus(str(root / "data"), n_train=16, n_val=4, n_test=4, seed=8)
+    cfg = Config()
+    cfg.data.data_dir = corpus
+    cfg.data.batch_size = 8
+    cfg.data.max_seq_length = 12
+    cfg.model.embedding_dim = 24
+    cfg.model.decoder.hidden_dim = 24
+    cfg.model.decoder.lstm_layers = 1
+    cfg.model.decoder.dropout = 0.0
+    cfg.model.encoder.cnn.img_height = 32
+    cfg.model.encoder.cnn.img_width = 64
+    cfg.model.encoder.cnn.conv_filters = [4]
+    cfg.training.epochs = 1
+    cfg.inference.max_length = 11
+    cfg.hardware.compute_dtype = "float32"
+    tok = LaTeXTokenizer(max_sequence_length=12)
+    tok.fit(read_formulas(os.path.join(corpus, "im2latex_formulas.norm.lst")))
+    paths = PathManager(str(root))
+    paths.outputs_dir.mkdir(parents=True, exist_ok=True)
+    Trainer(cfg, tok, create_data_loaders(cfg, tok), paths=paths, experiment_name="srv").train()
+    pred = Predictor.from_checkpoint(str(paths.get_dir("srv", "checkpoints")), batch_size=4)
+    imgs = sorted((root / "data" / "img").iterdir())
+    return pred, [str(p) for p in imgs]
+
+
+class TestServer:
+    def test_submit_and_batch(self, predictor):
+        pred, imgs = predictor
+        with InferenceServer(pred, max_batch=4, max_wait_ms=50) as srv:
+            futures = [srv.submit(img) for img in imgs[:6]]
+            results = [f.result(timeout=60) for f in futures]
+        assert len(results) == 6
+        assert all(isinstance(r, str) for r in results)
+        assert srv.stats.requests == 6
+        assert srv.stats.batches >= 2  # 6 requests > one 4-batch
+        assert 0 < srv.stats.mean_batch_fill <= 1
+
+    def test_results_match_direct_predict(self, predictor):
+        pred, imgs = predictor
+        direct = pred.predict_batch(imgs[:3], batch_size=4)
+        with InferenceServer(pred, max_batch=4, max_wait_ms=20) as srv:
+            served = srv.predict_many(imgs[:3], timeout=60)
+        assert served == direct
+
+    def test_concurrent_submitters(self, predictor):
+        pred, imgs = predictor
+        results = {}
+
+        def client(i, srv):
+            results[i] = srv.submit(imgs[i % len(imgs)]).result(timeout=60)
+
+        with InferenceServer(pred, max_batch=4, max_wait_ms=20) as srv:
+            threads = [threading.Thread(target=client, args=(i, srv)) for i in range(8)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        assert len(results) == 8
+
+    def test_submit_before_start_raises(self, predictor):
+        pred, imgs = predictor
+        srv = InferenceServer(pred)
+        with pytest.raises(RuntimeError):
+            srv.submit(imgs[0])
+
+    def test_mixed_options_split_batches(self, predictor):
+        pred, imgs = predictor
+        with InferenceServer(pred, max_batch=4, max_wait_ms=20) as srv:
+            f1 = srv.submit(imgs[0])
+            f2 = srv.submit(imgs[1], beam_size=2)
+            r1, r2 = f1.result(60), f2.result(60)
+        assert isinstance(r1, str) and isinstance(r2, str)
+        assert srv.stats.batches >= 2
