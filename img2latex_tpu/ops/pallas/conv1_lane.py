@@ -15,6 +15,14 @@ Cin=1 128x lane-padding tax:
 
 Output is (B, H/2, Wp/2, Cout) channel-last; the caller crops the padded
 columns.  Parity in tests/test_pallas_conv.py (interpret mode).
+
+STATUS: bit-exact on the v5e chip (checksum-identical to XLA) but 58.9 ms vs
+XLA's 14.6 ms at B=1024 — the (image x lane-tile) grid is 7,168 tiny
+programs and per-program overhead dominates.  Conclusion across both conv
+kernels: on this toolchain XLA's conv emitters win; Pallas pays off for
+weight-resident sequential loops (decode), not for convolutions.  Kept as a
+correctness-tested reference for round-2 experiments (fewer, larger grid
+programs with double-buffered DMA would be the next iteration).
 """
 
 from __future__ import annotations

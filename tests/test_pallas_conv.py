@@ -40,3 +40,17 @@ def test_rejects_odd_spatial():
     k = jnp.zeros((3, 3, 1, 8))
     with pytest.raises(AssertionError):
         fused_conv_relu_pool(x, k, interpret=True)
+
+
+class TestConv1Lane:
+    @pytest.mark.parametrize("shape", [(2, 8, 128), (1, 8, 100), (2, 16, 256)])
+    def test_matches_xla(self, shape):
+        from img2latex_tpu.ops.pallas.conv1_lane import conv1_lane_relu_pool
+
+        B, H, W = shape
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(B, H, W, 1)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(3, 3, 1, 32)).astype(np.float32)) * 0.2
+        ref = _ref(x, k)
+        got = conv1_lane_relu_pool(x, k, interpret=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
