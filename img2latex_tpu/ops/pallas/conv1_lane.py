@@ -68,10 +68,9 @@ def _kernel(H: int, Cout: int, x_ref, k_ref, sel_ref, out_ref, pat_ref):
 def conv1_lane_relu_pool(x: jnp.ndarray, kernel: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """x (B, H, W, 1), kernel (3, 3, 1, Cout) -> (B, H/2, W/2, Cout).
 
-    Matches conv(SAME, white-agnostic: padded columns use edge value 0 after
-    normalization? NO — zero padding like SAME) -> relu -> maxpool(2,2).
-    W is internally padded to a multiple of 128 with zeros; the padded
-    region's pooled columns are cropped from the output.
+    Equivalent to conv(SAME, zero padding) -> relu -> maxpool(2,2).  W is
+    internally padded to a multiple of 128 with zeros; the padded region's
+    pooled columns are cropped from the output.
     """
     B, H, W, Cin = x.shape
     assert Cin == 1
