@@ -1,0 +1,137 @@
+"""Convert reference (PyTorch) Seq2Seq checkpoints to this framework.
+
+The reference saves ``{epoch, step, model_state_dict, optimizer_state_dict,
+metrics, config, tokenizer_config}`` via ``torch.save``
+(``img2latex/training/trainer.py:181-233``).  This module maps its
+``model_state_dict`` onto our flax parameter tree so a user can bring their
+trained reference checkpoints along:
+
+CNN-LSTM (``model/encoder.py:74-107``, ``model/decoder.py:69-93``):
+
+* ``encoder.cnn_layers.{3i}.weight``  (OIHW) -> ``encoder/Conv_i/kernel`` (HWIO)
+* ``encoder.embedding_layer.weight``  -> ``encoder/Dense_0/kernel`` with the
+  NCHW->NHWC **flatten permutation** applied to its input rows: torch
+  flattens the conv stack's (C, H', W') activations c-major while NHWC
+  flattens (H', W', C) channel-minor, so row ``c*H'W' + h*W' + w`` moves to
+  ``h*W'C + w*C + c``;
+* ``decoder.embedding.weight``        -> ``decoder/cell/embedding/embedding``
+* ``decoder.lstm.weight_ih_l{k}``     -> ``decoder/cell/lstm/W_ih_l{k}`` (transposed;
+  gate order (i,f,g,o) matches by construction, models/lstm.py)
+* ``decoder.attention.attn|v``        -> ``decoder/cell/attention/{attn,v}``
+* ``decoder.output_layer``            -> ``decoder/cell/out``
+
+Forward-equivalence (same logits as a torch execution of the reference
+architecture) is asserted in tests/test_reference_convert.py.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _t(arr) -> np.ndarray:
+    a = np.asarray(arr.detach().cpu().numpy() if hasattr(arr, "detach") else arr, np.float32)
+    return a
+
+
+def flatten_permutation(c: int, h: int, w: int) -> np.ndarray:
+    """Row permutation mapping torch's (C,H,W)-flatten index to NHWC's
+    (H,W,C)-flatten index: perm[new_row] = old_row."""
+    idx = np.arange(c * h * w).reshape(c, h, w)  # old layout: [c, h, w]
+    return np.transpose(idx, (1, 2, 0)).reshape(-1)  # new order (h, w, c)
+
+
+def convert_cnn_lstm_state_dict(
+    state_dict: Dict[str, Any],
+    conv_shape_after: Tuple[int, int, int],
+) -> Dict[str, Any]:
+    """Reference cnn_lstm ``model_state_dict`` -> flax params tree.
+
+    ``conv_shape_after`` is (C, H', W') of the conv stack output (for the
+    dense flatten permutation), e.g. (128, 8, 100) for 64x800 inputs with
+    filters [32, 64, 128].
+    """
+    params: Dict[str, Any] = {"encoder": {}, "decoder": {"cell": {}}}
+    cell = params["decoder"]["cell"]
+    cell["lstm"] = {}
+    conv_idx = {}
+    for key, value in state_dict.items():
+        m = re.match(r"encoder\.cnn_layers\.(\d+)\.(weight|bias)$", key)
+        if m:
+            layer, part = int(m.group(1)), m.group(2)
+            # torch Sequential: Conv2d at 0, 3, 6, ... (conv, relu, pool)
+            i = layer // 3
+            conv_idx.setdefault(i, {})
+            if part == "weight":
+                conv_idx[i]["kernel"] = np.transpose(_t(value), (2, 3, 1, 0))  # OIHW->HWIO
+            else:
+                conv_idx[i]["bias"] = _t(value)
+            continue
+        if key == "encoder.embedding_layer.weight":
+            w = _t(value).T  # (in, out)
+            c, h, ww = conv_shape_after
+            perm = flatten_permutation(c, h, ww)
+            params["encoder"]["Dense_0"] = params["encoder"].get("Dense_0", {})
+            params["encoder"]["Dense_0"]["kernel"] = w[perm]
+            continue
+        if key == "encoder.embedding_layer.bias":
+            params["encoder"].setdefault("Dense_0", {})["bias"] = _t(value)
+            continue
+        if key == "decoder.embedding.weight":
+            cell["embedding"] = {"embedding": _t(value)}
+            continue
+        m = re.match(r"decoder\.lstm\.(weight|bias)_(ih|hh)_l(\d+)$", key)
+        if m:
+            part, which, layer = m.groups()
+            name = f"{'W' if part == 'weight' else 'b'}_{which}_l{layer}"
+            arr = _t(value)
+            cell["lstm"][name] = arr.T if part == "weight" else arr
+            continue
+        if key.startswith("decoder.attention.attn."):
+            cell.setdefault("attention", {}).setdefault("attn", {})[
+                "kernel" if key.endswith("weight") else "bias"
+            ] = _t(value).T if key.endswith("weight") else _t(value)
+            continue
+        if key.startswith("decoder.attention.v."):
+            cell.setdefault("attention", {}).setdefault("v", {})["kernel"] = _t(value).T
+            continue
+        if key == "decoder.output_layer.weight":
+            cell.setdefault("out", {})["kernel"] = _t(value).T
+            continue
+        if key == "decoder.output_layer.bias":
+            cell.setdefault("out", {})["bias"] = _t(value)
+            continue
+        # dropout layers etc. have no params; anything else is unexpected
+    for i, tree in conv_idx.items():
+        params["encoder"][f"Conv_{i}"] = tree
+    return params
+
+
+def convert_reference_checkpoint(ckpt: Dict[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any], Dict[str, Any]]:
+    """Full reference checkpoint dict -> (flax_params, config_dict,
+    tokenizer_config).  Only cnn_lstm is supported (the reference's
+    resnet_lstm uses torchvision backbones — convert those with
+    scripts/convert_torchvision_resnet.py)."""
+    cfg = ckpt.get("config", {})
+    model_name = cfg.get("model", {}).get("name", "cnn_lstm")
+    if model_name != "cnn_lstm":
+        raise NotImplementedError(
+            "convert_reference_checkpoint supports cnn_lstm; for resnet_lstm "
+            "convert the backbone with scripts/convert_torchvision_resnet.py"
+        )
+    enc = cfg.get("model", {}).get("encoder", {}).get("cnn", {})
+    h = enc.get("img_height", 64)
+    w = enc.get("img_width", 800)
+    filters = enc.get("conv_filters", [32, 64, 128])
+    pool = enc.get("pool_size", 2)
+    hh, ww = h, w
+    for _ in filters:
+        hh //= pool
+        ww //= pool
+    params = convert_cnn_lstm_state_dict(
+        ckpt["model_state_dict"], (filters[-1], hh, ww)
+    )
+    return params, cfg, ckpt.get("tokenizer_config", {})
