@@ -217,6 +217,11 @@ class HardwareConfig:
     debug_nans: bool = False
     remat: bool = False
     use_pallas_decode: bool = True
+    # Compute each CNN conv+relu+maxpool block as relu(max of 4 phase-shifted
+    # stride-2 convs) — algebraically identical, same parameter tree, but the
+    # full-resolution pre-pool map never touches HBM (the encoder's bandwidth
+    # bottleneck).  Off by default until it wins on the target hardware.
+    fused_conv_pool: bool = False
 
 
 @dataclass

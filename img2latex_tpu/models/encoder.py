@@ -36,12 +36,41 @@ class CNNEncoder(nn.Module):
     output: str = "vector"  # "vector" | "grid"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # When on, each conv+relu+maxpool block is computed as
+    # relu(max of 4 phase-shifted stride-2 convs) — algebraically identical
+    # (max-pool commutes with the monotone relu; each shifted stride-2 conv
+    # enumerates one pool phase of the SAME-padded full-res conv) but never
+    # materializes the pre-pool full-resolution map in HBM, which is the
+    # encoder's bandwidth bottleneck on TPU.  Same parameter tree either way.
+    # Requires even H/W at every block and pool_size 2 / kernel_size 3.
+    fused_pool: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B, H, W, C) float -> (B, E) or (B, S, E) when output="grid"."""
         x = x.astype(self.dtype)
+        fuse = self.fused_pool and self.kernel_size == 3 and self.pool_size == 2
         for filters in self.conv_filters:
+            if fuse and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                conv = nn.Conv(
+                    features=filters,
+                    kernel_size=(self.kernel_size, self.kernel_size),
+                    strides=(2, 2),
+                    padding="VALID",
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                )
+                pooled = None
+                for di in (0, 1):
+                    for dj in (0, 1):
+                        # Phase (di, dj): conv output at rows 2i+di, cols
+                        # 2j+dj of the SAME-padded full-res conv.  One conv
+                        # instance called 4x => one shared parameter set.
+                        xp = jnp.pad(x, ((0, 0), (1 - di, di), (1 - dj, dj), (0, 0)))
+                        y = conv(xp)
+                        pooled = y if pooled is None else jnp.maximum(pooled, y)
+                x = nn.relu(pooled)
+                continue
             x = nn.Conv(
                 features=filters,
                 kernel_size=(self.kernel_size, self.kernel_size),

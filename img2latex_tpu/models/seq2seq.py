@@ -33,6 +33,7 @@ class Seq2SeqModel(nn.Module):
     conv_filters: Tuple[int, ...] = (32, 64, 128)
     kernel_size: int = 3
     pool_size: int = 2
+    fused_conv_pool: bool = False  # HBM-saving conv+pool phase decomposition
     # ResNet encoder
     resnet_name: str = "resnet50"
     dtype: Any = jnp.float32
@@ -48,6 +49,7 @@ class Seq2SeqModel(nn.Module):
                 output=self.memory_mode,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                fused_pool=self.fused_conv_pool,
             )
         elif self.model_type == "resnet_lstm":
             self.encoder = ResNetEncoder(
@@ -126,6 +128,7 @@ def build_model(cfg: Config, vocab_size: int) -> Seq2SeqModel:
         conv_filters=tuple(cfg.model.encoder.cnn.conv_filters),
         kernel_size=cfg.model.encoder.cnn.kernel_size,
         pool_size=cfg.model.encoder.cnn.pool_size,
+        fused_conv_pool=cfg.hardware.fused_conv_pool,
         resnet_name=cfg.model.encoder.resnet.model_name,
         dtype=dtype,
         param_dtype=param_dtype,

@@ -72,6 +72,37 @@ class TestEncoders:
         out = enc.apply(params, x)
         assert out.shape == (2, 16, 32)  # W/4 = 16 memory slots
 
+    def test_fused_conv_pool_exact(self):
+        """relu(max of 4 phase-shifted stride-2 convs) == maxpool(relu(conv))
+        bit-exactly, from the SAME parameter tree (fused_pool is a pure
+        execution-strategy flag; checkpoints are interchangeable)."""
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 64, 96, 1)).astype(np.float32))
+        for output in ("vector", "grid"):
+            plain = CNNEncoder(conv_filters=(8, 16, 32), embedding_dim=32, output=output)
+            fused = CNNEncoder(
+                conv_filters=(8, 16, 32), embedding_dim=32, output=output, fused_pool=True
+            )
+            params = plain.init(jax.random.PRNGKey(0), x)
+            assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+                fused.init(jax.random.PRNGKey(0), x)
+            )
+            a = np.asarray(plain.apply(params, x))
+            b = np.asarray(fused.apply(params, x))
+            np.testing.assert_array_equal(a, b)
+
+    def test_fused_conv_pool_odd_dims_fall_back(self):
+        """Odd spatial dims at any block fall back to the plain path (the
+        phase decomposition needs even H/W), still from the same params."""
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(2, 30, 50, 1)).astype(np.float32))
+        plain = CNNEncoder(conv_filters=(8, 16), embedding_dim=32)
+        fused = CNNEncoder(conv_filters=(8, 16), embedding_dim=32, fused_pool=True)
+        params = plain.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_array_equal(
+            np.asarray(plain.apply(params, x)), np.asarray(fused.apply(params, x))
+        )
+
     @pytest.mark.parametrize("name,feat", [("resnet18", 512), ("resnet50", 2048)])
     def test_resnet_encoder(self, name, feat):
         enc = ResNetEncoder(model_name=name, embedding_dim=64)
