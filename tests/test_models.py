@@ -91,6 +91,19 @@ class TestEncoders:
             b = np.asarray(fused.apply(params, x))
             np.testing.assert_array_equal(a, b)
 
+    def test_fused_conv_pool_gradient_parity(self):
+        """Backward pass matches the plain path (float tolerance: conv
+        backward reduction order differs), so the flag is safe in training."""
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 32, 64, 1)).astype(np.float32))
+        plain = CNNEncoder(conv_filters=(8, 16), embedding_dim=32)
+        fused = CNNEncoder(conv_filters=(8, 16), embedding_dim=32, fused_pool=True)
+        params = plain.init(jax.random.PRNGKey(0), x)
+        gp = jax.grad(lambda p: jnp.sum(plain.apply(p, x) ** 2))(params)
+        gf = jax.grad(lambda p: jnp.sum(fused.apply(p, x) ** 2))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gf)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
     def test_fused_conv_pool_odd_dims_fall_back(self):
         """Odd spatial dims at any block fall back to the plain path (the
         phase decomposition needs even H/W), still from the same params."""
