@@ -164,6 +164,7 @@ def cmd_predict(args: argparse.Namespace) -> int:
         temperature=args.temperature,
         top_k=args.top_k,
         top_p=args.top_p,
+        length_penalty=args.length_penalty,
     )
     if len(images) == 1:
         print(predictor.predict(images[0], **options))
@@ -209,6 +210,7 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
         temperature=args.temperature,
         top_k=args.top_k,
         top_p=args.top_p,
+        length_penalty=args.length_penalty,
         batch_size=args.batch_size,
         max_batches=args.max_batches,
         output_dir=output_dir,
@@ -337,6 +339,8 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--temperature", type=float, default=None)
     pr.add_argument("--top-k", type=int, default=None)
     pr.add_argument("--top-p", type=float, default=None)
+    pr.add_argument("--length-penalty", type=float, default=None,
+                    help="Beam length-normalization exponent")
     pr.add_argument("--batch-size", type=int, default=16)
     pr.add_argument("--output", "-o", default=None, help="Write predictions JSON here")
     pr.set_defaults(func=cmd_predict)
@@ -352,6 +356,8 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--temperature", type=float, default=None)
     ev.add_argument("--top-k", type=int, default=None)
     ev.add_argument("--top-p", type=float, default=None)
+    ev.add_argument("--length-penalty", type=float, default=None,
+                    help="Beam length-normalization exponent")
     ev.add_argument("--batch-size", type=int, default=None)
     ev.add_argument("--max-batches", type=int, default=None)
     ev.add_argument("--output-dir", default=None)

@@ -38,6 +38,7 @@ def evaluate_checkpoint(
     temperature: Optional[float] = None,
     top_k: Optional[int] = None,
     top_p: Optional[float] = None,
+    length_penalty: Optional[float] = None,
     batch_size: Optional[int] = None,
     max_batches: Optional[int] = None,
     output_dir: Optional[str] = None,
@@ -65,7 +66,7 @@ def evaluate_checkpoint(
         top_k=top_k if top_k is not None else icfg.top_k,
         top_p=top_p if top_p is not None else icfg.top_p,
         beam_size=beam_size if beam_size is not None else icfg.beam_size,
-        length_penalty=icfg.length_penalty,
+        length_penalty=length_penalty if length_penalty is not None else icfg.length_penalty,
     )
 
     all_preds, all_tgts, rows = [], [], []
@@ -135,6 +136,7 @@ def evaluate_checkpoint(
             "temperature": dcfg.temperature,
             "top_k": dcfg.top_k,
             "top_p": dcfg.top_p,
+            "length_penalty": dcfg.length_penalty,
             "max_length": dcfg.max_length,
         },
     }

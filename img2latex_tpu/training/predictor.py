@@ -219,6 +219,7 @@ class Predictor:
         temperature: Optional[float] = None,
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
+        length_penalty: Optional[float] = None,
         batch_size: Optional[int] = None,
         seed: int = 0,
         return_ids: bool = False,
@@ -233,7 +234,7 @@ class Predictor:
             top_k=top_k if top_k is not None else icfg.top_k,
             top_p=top_p if top_p is not None else icfg.top_p,
             beam_size=beam_size if beam_size is not None else icfg.beam_size,
-            length_penalty=icfg.length_penalty,
+            length_penalty=length_penalty if length_penalty is not None else icfg.length_penalty,
         )
         B = batch_size or self.batch_size
         h, w, c = self.cfg.image_shape
