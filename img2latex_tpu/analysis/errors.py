@@ -28,8 +28,12 @@ ERROR_PATTERNS: Dict[str, Any] = {
         r"(?<![\\a-zA-Z])(frac|sqrt|sum|int|alpha|beta|gamma|cdot|left|right)(?![a-zA-Z])"
     ),
     "bad_frac": re.compile(r"\\frac(?!\s*\{)"),
-    "dangling_subscript": re.compile(r"_\s*($|[^\{a-zA-Z0-9\\])"),
-    "dangling_superscript": re.compile(r"\^\s*($|[^\{a-zA-Z0-9\\])"),
+    # \s is excluded from the offending-char class: otherwise the greedy \s*
+    # backtracks and the space itself "offends", flagging well-formed
+    # space-tokenized scripts like "x _ { k }" (the reference's own pattern,
+    # errors.py:262, has exactly that false positive; intended behavior only).
+    "dangling_subscript": re.compile(r"_\s*($|[^\s\{a-zA-Z0-9\\])"),
+    "dangling_superscript": re.compile(r"\^\s*($|[^\s\{a-zA-Z0-9\\])"),
     "double_script": re.compile(r"(_\s*_|\^\s*\^)"),
 }
 

@@ -142,3 +142,29 @@ class TestCheckpointRobustness:
         assert ck.latest_step(tmp_path) == 10
         state, meta = ck.restore_checkpoint(tmp_path)
         assert meta["epoch"] == 1
+
+
+class TestErrorPatterns:
+    """LaTeX error-pattern detectors (analysis/errors.py) — intended behavior
+    of the reference's 8 regexes (errors.py:245-297) on space-tokenized text."""
+
+    def _hits(self, s):
+        from img2latex_tpu.analysis.errors import identify_error_patterns
+
+        return {k for k, v in identify_error_patterns([{"prediction": s}]).items() if v}
+
+    def test_well_formed_scripts_not_flagged(self):
+        assert self._hits("x _ { k } + y ^ { 2 }") == set()
+        assert self._hits("\\frac { a } { b }") == set()
+
+    def test_dangling_scripts_flagged(self):
+        assert "dangling_subscript" in self._hits("x _")
+        assert "dangling_subscript" in self._hits("x _ + 2")
+        assert "dangling_superscript" in self._hits("y ^ }")
+        assert "double_script" in self._hits("x _ _ { k }")
+
+    def test_structure_errors(self):
+        assert "unbalanced_braces" in self._hits("x _ { k")
+        assert "unbalanced_parens" in self._hits("\\sin ( x")
+        assert "bad_frac" in self._hits("\\frac x y")
+        assert "missing_backslash_command" in self._hits("frac { a } { b }")
