@@ -236,8 +236,16 @@ def _full_decode_kernel(
     per-step XLA scan bookkeeping).
 
     refs: [ctx (B,E)] [emb (Vp,E)] [w_ih_i w_hh_i b_i]*L [w_out (H,Vp)]
-          [b_out (1,Vp)] -> out [tokens (B,T) i32],
+          [b_out (1,Vp)] -> out [tokens (T,B) i32],
     scratch: h (L,B,H), c (L,B,H)
+
+    Mosaic notes (the first version crashed the on-chip compiler): the token
+    stream is written **time-major** so the per-step dynamic store
+    ``out_ref[pl.ds(t, 1), :]`` indexes the *sublane* dimension (dynamic
+    lane-dim stores of width 1 into a non-128-multiple minor dim are what
+    broke), and the finished flag is carried as int32 arithmetic — bool
+    vectors in a ``fori_loop`` carry are the other Mosaic-hostile idiom.
+    The caller transposes back to (B, T).
     """
     ctx_ref = refs[0]
     emb_ref = refs[1]
@@ -259,7 +267,7 @@ def _full_decode_kernel(
     ctx = ctx_ref[:]
 
     def body(t, state):
-        tokens, finished = state  # (B, 1) i32, (B, 1) bool
+        tokens, finished = state  # (B, 1) i32, (B, 1) i32 (0/1)
         col = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
         onehot = (col == tokens).astype(dtype)
         x = jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
@@ -280,13 +288,14 @@ def _full_decode_kernel(
             x = h_new.astype(dtype)
         logits = jnp.dot(x, w_out_ref[:], preferred_element_type=jnp.float32) + b_out_ref[:]
         nxt = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
-        out_tok = jnp.where(finished, jnp.int32(pad_id), nxt)
-        finished = jnp.logical_or(finished, out_tok == end_id)
-        out_ref[:, pl.ds(t, 1)] = out_tok
+        # finished-select and END-absorption in int32 arithmetic (no bools).
+        out_tok = finished * jnp.int32(pad_id) + (1 - finished) * nxt
+        finished = jnp.maximum(finished, (out_tok == end_id).astype(jnp.int32))
+        out_ref[pl.ds(t, 1), :] = out_tok.reshape(1, B)
         return out_tok, finished
 
     tokens0 = jnp.full((B, 1), start_id, jnp.int32)
-    finished0 = jnp.zeros((B, 1), bool)
+    finished0 = jnp.zeros((B, 1), jnp.int32)
     jax.lax.fori_loop(0, max_length, body, (tokens0, finished0))
 
 
@@ -312,9 +321,9 @@ def pallas_full_greedy_decode(
         weight_args += [packed[f"w_ih_{i}"], packed[f"w_hh_{i}"], packed[f"b_{i}"].reshape(1, -1)]
     weight_args += [packed["w_out"], packed["b_out"].reshape(1, -1)]
     n_inputs = 1 + len(weight_args)
-    return pl.pallas_call(
+    tokens_tb = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, max_length), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((max_length, B), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_inputs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -323,6 +332,7 @@ def pallas_full_greedy_decode(
         ],
         interpret=interpret,
     )(context.astype(dtype), *weight_args)
+    return jnp.swapaxes(tokens_tb, 0, 1)
 
 
 def vmem_bytes_estimate(packed: Dict[str, Any], batch: int) -> int:
