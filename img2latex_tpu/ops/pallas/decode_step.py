@@ -307,8 +307,24 @@ def pallas_full_greedy_decode(
     end_id: int,
     pad_id: int,
     interpret: bool = False,
+    batch_tile: int = 256,
 ) -> jnp.ndarray:
-    """Whole-decode-in-one-kernel variant of :func:`pallas_greedy_decode`."""
+    """Whole-decode-in-one-kernel variant of :func:`pallas_greedy_decode`.
+
+    Batches larger than ``batch_tile`` are split into tiles at the XLA level
+    (``lax.map`` over chunks): at reference scale the weights plus one
+    256-row tile are ~17 MB of VMEM and 512 rows overflow.  Each chunk pays
+    one ~13 MB weight DMA into VMEM, then runs all ``max_length`` steps from
+    VMEM — unlike the scanned step-kernel path, which re-reads the weights
+    from HBM on every one of the steps.  (A multi-program Pallas grid with
+    constant-index weight blocks is the in-kernel alternative; it crashes
+    the Mosaic compiler on this toolchain, so tiling stays in XLA.)
+
+    Parity: bit-identical to the scanned step-kernel path (same kernel
+    numerics).  Versus the pure-XLA scan path in bfloat16, near-tie argmax
+    steps can flip (measured on-chip: 1 row in 256 with random weights);
+    float32 interpret-mode parity is exact (tested).
+    """
     B = context.shape[0]
     L = int(packed["num_layers"])
     H = int(packed["hidden_dim"])
@@ -321,18 +337,31 @@ def pallas_full_greedy_decode(
         weight_args += [packed[f"w_ih_{i}"], packed[f"w_hh_{i}"], packed[f"b_{i}"].reshape(1, -1)]
     weight_args += [packed["w_out"], packed["b_out"].reshape(1, -1)]
     n_inputs = 1 + len(weight_args)
-    tokens_tb = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((max_length, B), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_inputs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((L, B, H), dtype),
-            pltpu.VMEM((L, B, H), dtype),
-        ],
-        interpret=interpret,
-    )(context.astype(dtype), *weight_args)
-    return jnp.swapaxes(tokens_tb, 0, 1)
+
+    def one_tile(ctx_tile: jnp.ndarray) -> jnp.ndarray:
+        tile = ctx_tile.shape[0]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((max_length, tile), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_inputs,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((L, tile, H), dtype),
+                pltpu.VMEM((L, tile, H), dtype),
+            ],
+            interpret=interpret,
+        )(ctx_tile, *weight_args)
+
+    ctx = context.astype(dtype)
+    if B <= batch_tile:
+        return jnp.swapaxes(one_tile(ctx), 0, 1)
+    Bp = _round_up(B, batch_tile)
+    if Bp != B:
+        ctx = jnp.pad(ctx, ((0, Bp - B), (0, 0)))
+    chunks = ctx.reshape(Bp // batch_tile, batch_tile, -1)
+    tokens_tb = jax.lax.map(one_tile, chunks)  # (nc, T, tile)
+    tokens = jnp.swapaxes(tokens_tb, 1, 2).reshape(Bp, max_length)
+    return tokens[:B]
 
 
 def vmem_bytes_estimate(packed: Dict[str, Any], batch: int) -> int:

@@ -101,3 +101,17 @@ class TestFullLoopKernel:
         ref = greedy_sample_decode(step_fn, init_decoder_carry(2, B, 128), B, dcfg)
         got = pallas_full_greedy_decode(packed, memory[:, 0, :], 20, 1, 2, 0, interpret=True)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    def test_batch_tiling_matches_single_shot(self, setup):
+        """Batches above batch_tile split into lax.map chunks (with padding
+        when B is not a multiple); outputs must match the untiled kernel."""
+        from img2latex_tpu.ops.pallas.decode_step import pallas_full_greedy_decode
+
+        cfg, model, params, memory, packed, V = setup
+        B = memory.shape[0]  # 8 -> tile 3 gives chunks [3, 3, 2(padded)]
+        ctx = memory[:, 0, :]
+        ref = pallas_full_greedy_decode(packed, ctx, 20, 1, 2, 0, interpret=True)
+        got = pallas_full_greedy_decode(
+            packed, ctx, 20, 1, 2, 0, interpret=True, batch_tile=3
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
