@@ -95,7 +95,11 @@ class Im2LatexDataset:
         self.channels = channels
         self.pad_value = pad_value
         self.augment = augment
-        self._aug_rng = np.random.default_rng(seed)
+        # Augmentation RNG: numpy Generators are not thread-safe, and the
+        # BatchLoader decodes with a thread pool — give each worker thread
+        # its own stream (independent via SeedSequence.spawn).
+        self._aug_seed_seq = np.random.SeedSequence(seed)
+        self._aug_local = threading.local()
         self._cache: Optional[List[np.ndarray]] = None
         if load_in_memory and not augment:
             # RAM estimate before preloading (reference interactive confirm,
@@ -121,6 +125,13 @@ class Im2LatexDataset:
     def __len__(self) -> int:
         return len(self.samples)
 
+    def _aug_rng(self) -> np.random.Generator:
+        rng = getattr(self._aug_local, "rng", None)
+        if rng is None:
+            rng = np.random.default_rng(self._aug_seed_seq.spawn(1)[0])
+            self._aug_local.rng = rng
+        return rng
+
     def _load_image(self, i: int) -> np.ndarray:
         name, _ = self.samples[i]
         path = os.path.join(self.img_dir, name)
@@ -137,7 +148,7 @@ class Im2LatexDataset:
             try:
                 img = Image.open(path)
                 img = img.convert("L" if self.channels == 1 else "RGB")
-                img = augment_image(img, self._aug_rng, self.pad_value)
+                img = augment_image(img, self._aug_rng(), self.pad_value)
                 img = resize_with_aspect_ratio(img, self.img_size[0], self.img_size[1], self.pad_value)
                 arr = np.asarray(img, dtype=np.uint8)
                 return arr[:, :, None] if self.channels == 1 else arr
