@@ -48,6 +48,8 @@ def main() -> None:
     from img2latex_tpu.ops.preprocess import normalize_images
     from img2latex_tpu.parallel.mesh import create_mesh, put_batch, put_replicated
 
+    use_pallas = jax.default_backend() not in ("cpu",)
+
     n_dev = jax.device_count()
     batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 3072
     B = batch_per_chip * n_dev
@@ -77,9 +79,25 @@ def main() -> None:
     dcfg = DecodeConfig(max_length=MAX_LEN, start_id=1, end_id=2, pad_id=0)
     dtype = jnp.dtype(cfg.hardware.compute_dtype)
 
+    # Same decode path the Predictor ships: the whole-decode Pallas kernel
+    # (weights VMEM-resident across all 141 steps; 1.13x the XLA scan at
+    # batch 3072, scripts/bench_decode_paths.py).  Scan fallback off-TPU.
+    packed = None
+    if use_pallas:
+        from img2latex_tpu.ops.pallas.decode_step import (
+            pack_decoder_weights,
+            pallas_full_greedy_decode,
+        )
+
+        packed = pack_decoder_weights(params, VOCAB, dtype)
+
     def decode(params, images_u8):
         x = normalize_images(images_u8, compute_dtype=dtype)
         memory = model.apply(params, x, method=Seq2SeqModel.encode)
+        if use_pallas:
+            return pallas_full_greedy_decode(
+                packed, memory[:, 0, :], MAX_LEN, dcfg.start_id, dcfg.end_id, dcfg.pad_id
+            )
 
         def step_fn(tokens, carry):
             return model.apply(params, memory, tokens, carry, method=Seq2SeqModel.decode_step)

@@ -165,6 +165,7 @@ def cmd_predict(args: argparse.Namespace) -> int:
         top_k=args.top_k,
         top_p=args.top_p,
         length_penalty=args.length_penalty,
+        early_exit=args.early_exit,
     )
     if len(images) == 1:
         print(predictor.predict(images[0], **options))
@@ -211,6 +212,7 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
         top_k=args.top_k,
         top_p=args.top_p,
         length_penalty=args.length_penalty,
+        early_exit=args.early_exit,
         batch_size=args.batch_size,
         max_batches=args.max_batches,
         output_dir=output_dir,
@@ -339,6 +341,9 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--temperature", type=float, default=None)
     pr.add_argument("--top-k", type=int, default=None)
     pr.add_argument("--top-p", type=float, default=None)
+    pr.add_argument("--early-exit", action="store_true", default=None,
+                    help="Stop decoding when every sequence emitted END "
+                         "(the reference's early break; output-identical)")
     pr.add_argument("--length-penalty", type=float, default=None,
                     help="Beam length-normalization exponent")
     pr.add_argument("--batch-size", type=int, default=16)
@@ -356,6 +361,9 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--temperature", type=float, default=None)
     ev.add_argument("--top-k", type=int, default=None)
     ev.add_argument("--top-p", type=float, default=None)
+    ev.add_argument("--early-exit", action="store_true", default=None,
+                    help="Stop decoding when every sequence emitted END "
+                         "(the reference's early break; output-identical)")
     ev.add_argument("--length-penalty", type=float, default=None,
                     help="Beam length-normalization exponent")
     ev.add_argument("--batch-size", type=int, default=None)

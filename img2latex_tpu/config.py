@@ -153,6 +153,10 @@ class InferenceConfig:
     top_k: int = 0
     top_p: float = 0.0
     length_penalty: float = 0.0  # TPU addition: beam length normalization exponent
+    # Stop greedy/sampling decode once every sequence emitted END (the
+    # reference's all-finished early break) — output-identical, faster on
+    # trained models; routes around the fixed-length Pallas fast path.
+    early_exit: bool = False
 
 
 @dataclass
@@ -218,9 +222,10 @@ class HardwareConfig:
     remat: bool = False
     use_pallas_decode: bool = True
     # Compute each CNN conv+relu+maxpool block as relu(max of 4 phase-shifted
-    # stride-2 convs) — algebraically identical, same parameter tree, but the
-    # full-resolution pre-pool map never touches HBM (the encoder's bandwidth
-    # bottleneck).  Off by default until it wins on the target hardware.
+    # stride-2 convs) — algebraically identical, same parameter tree.  Measured
+    # on a v5e chip (scripts/bench_encoder.py, batch 3072): 0.96x — the four
+    # phase maps cost the same HBM traffic as the full-res pre-pool map, so
+    # XLA's standard conv+pool stays the default.
     fused_conv_pool: bool = False
 
 

@@ -49,6 +49,14 @@ class DecodeConfig:
     top_p: float = 0.0
     beam_size: int = 0
     length_penalty: float = 0.0
+    # Stop the decode loop as soon as every sequence has emitted END — the
+    # reference's all-finished early break (``seq2seq.py:219-221``,
+    # ``predictor.py:337-347``), as a ``lax.while_loop`` instead of the fixed
+    # ``lax.scan``.  Output-identical (the skipped steps would emit PAD); a
+    # real-time win on trained models whose sequences end well before
+    # max_length.  Off by default: benches keep the fixed-length scan so
+    # throughput numbers don't depend on the weights.
+    early_exit: bool = False
 
     @property
     def sampling(self) -> bool:
@@ -118,8 +126,7 @@ def greedy_sample_decode(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    def scan_step(state, _):
-        tokens, carry, finished, key = state
+    def one_step(tokens, carry, finished, key):
         logits, carry = step_fn(tokens, carry)
         if cfg.sampling:
             key, sub = jax.random.split(key)
@@ -132,13 +139,40 @@ def greedy_sample_decode(
         nxt = nxt.astype(jnp.int32)
         out = jnp.where(finished, jnp.int32(cfg.pad_id), nxt)
         finished = jnp.logical_or(finished, out == cfg.end_id)
-        return (out, carry, finished, key), out
+        return out, carry, finished, key
 
     start = jnp.full((batch_size,), cfg.start_id, dtype=jnp.int32)
     finished0 = jnp.zeros((batch_size,), dtype=bool)
-    (_, _, _, _), tokens_t = jax.lax.scan(
-        scan_step, (start, carry0, finished0, rng), None, length=cfg.max_length
-    )
+    T = cfg.max_length
+
+    if cfg.early_exit:
+        # while_loop into a PAD-prefilled (T, B) buffer; the steps it skips
+        # are exactly those where every row is finished and the scan below
+        # would emit PAD.
+        out0 = jnp.full((T, batch_size), cfg.pad_id, jnp.int32)
+
+        def loop_cond(state):
+            t, _, _, finished, _, _ = state
+            return jnp.logical_and(t < T, jnp.logical_not(jnp.all(finished)))
+
+        def loop_body(state):
+            t, tokens, carry, finished, key, buf = state
+            out, carry, finished, key = one_step(tokens, carry, finished, key)
+            buf = jax.lax.dynamic_update_slice(buf, out[None, :], (t, 0))
+            return t + 1, out, carry, finished, key, buf
+
+        state = (jnp.int32(0), start, carry0, finished0, rng, out0)
+        *_, tokens_t = jax.lax.while_loop(loop_cond, loop_body, state)
+    else:
+
+        def scan_step(state, _):
+            tokens, carry, finished, key = state
+            out, carry, finished, key = one_step(tokens, carry, finished, key)
+            return (out, carry, finished, key), out
+
+        _, tokens_t = jax.lax.scan(
+            scan_step, (start, carry0, finished0, rng), None, length=T
+        )
     return jnp.swapaxes(tokens_t, 0, 1)  # (B, T)
 
 

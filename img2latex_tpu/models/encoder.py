@@ -43,6 +43,10 @@ class CNNEncoder(nn.Module):
     # materializes the pre-pool full-resolution map in HBM, which is the
     # encoder's bandwidth bottleneck on TPU.  Same parameter tree either way.
     # Requires even H/W at every block and pool_size 2 / kernel_size 3.
+    # Measured on a v5e chip (scripts/bench_encoder.py, batch 3072): 0.96x —
+    # the four phase maps add up to the same HBM bytes as the pre-pool map,
+    # so this only wins if XLA fuses the cross-phase max into the conv
+    # epilogues, which it does not on this toolchain.  Kept for parity study.
     fused_pool: bool = False
 
     @nn.compact

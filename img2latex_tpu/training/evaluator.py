@@ -39,6 +39,7 @@ def evaluate_checkpoint(
     top_k: Optional[int] = None,
     top_p: Optional[float] = None,
     length_penalty: Optional[float] = None,
+    early_exit: Optional[bool] = None,
     batch_size: Optional[int] = None,
     max_batches: Optional[int] = None,
     output_dir: Optional[str] = None,
@@ -67,6 +68,7 @@ def evaluate_checkpoint(
         top_p=top_p if top_p is not None else icfg.top_p,
         beam_size=beam_size if beam_size is not None else icfg.beam_size,
         length_penalty=length_penalty if length_penalty is not None else icfg.length_penalty,
+        early_exit=early_exit if early_exit is not None else getattr(icfg, "early_exit", False),
     )
 
     all_preds, all_tgts, rows = [], [], []

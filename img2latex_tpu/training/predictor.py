@@ -148,6 +148,7 @@ class Predictor:
             self.cfg.hardware.use_pallas_decode
             and dcfg.beam_size == 0
             and not dcfg.sampling
+            and not dcfg.early_exit  # the fused kernel always runs max_length steps
             and getattr(self.cfg.model, "memory", "vector") == "vector"
             and jax.default_backend() not in ("cpu",)
         )
@@ -223,6 +224,7 @@ class Predictor:
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
         length_penalty: Optional[float] = None,
+        early_exit: Optional[bool] = None,
         batch_size: Optional[int] = None,
         seed: int = 0,
         return_ids: bool = False,
@@ -238,6 +240,7 @@ class Predictor:
             top_p=top_p if top_p is not None else icfg.top_p,
             beam_size=beam_size if beam_size is not None else icfg.beam_size,
             length_penalty=length_penalty if length_penalty is not None else icfg.length_penalty,
+            early_exit=early_exit if early_exit is not None else getattr(icfg, "early_exit", False),
         )
         B = batch_size or self.batch_size
         h, w, c = self.cfg.image_shape

@@ -82,6 +82,42 @@ class TestGreedy:
         assert (tokens[:, 0] == END).all()
         assert (tokens[:, 1:] == PAD).all()
 
+    def test_early_exit_matches_scan(self):
+        # Dynamics where END wins quickly for every row -> the while_loop
+        # stops early; outputs must equal the fixed-length scan bit-for-bit.
+        emb, W = make_dynamics(3)
+        W = W.copy()
+        W[:, END] += 3.0  # END likely but not immediate
+        B, T = 4, 20
+        for kwargs in ({}, {"top_k": 3}):  # greedy and sampling
+            cfg = DecodeConfig(max_length=T, start_id=START, end_id=END, pad_id=PAD, **kwargs)
+            cfg_ee = DecodeConfig(
+                max_length=T, start_id=START, end_id=END, pad_id=PAD, early_exit=True, **kwargs
+            )
+            rng = jax.random.PRNGKey(7)
+            a = greedy_sample_decode(jax_step_fn(emb, W), jnp.zeros((B, H)), B, cfg, rng=rng)
+            b = greedy_sample_decode(jax_step_fn(emb, W), jnp.zeros((B, H)), B, cfg_ee, rng=rng)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            # sanity: sequences actually finished early (END present per row)
+            assert (np.asarray(a) == END).any(axis=1).all()
+
+    def test_early_exit_never_finishing(self):
+        # PAD/END suppressed -> loop must run the full max_length.
+        emb, W = make_dynamics(4)
+        emb_j, W_j = jnp.array(emb), jnp.array(W)
+        bias = jnp.where(jnp.arange(V) == 3, 50.0, 0.0)  # token 3 always argmaxes
+
+        def step(tokens, carry):
+            carry = jnp.tanh(carry + emb_j[tokens])
+            return carry @ W_j + bias, carry
+
+        cfg = DecodeConfig(max_length=9, start_id=START, end_id=END, pad_id=PAD, early_exit=True)
+        cfg_scan = DecodeConfig(max_length=9, start_id=START, end_id=END, pad_id=PAD)
+        a = greedy_sample_decode(step, jnp.zeros((2, H)), 2, cfg)
+        b = greedy_sample_decode(step, jnp.zeros((2, H)), 2, cfg_scan)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not (np.asarray(a) == END).any()
+
     def test_jittable_with_static_config(self):
         emb, W = make_dynamics()
         cfg = DecodeConfig(max_length=5, start_id=START, end_id=END, pad_id=PAD)
