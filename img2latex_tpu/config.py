@@ -227,6 +227,13 @@ class HardwareConfig:
     # phase maps cost the same HBM traffic as the full-res pre-pool map, so
     # XLA's standard conv+pool stays the default.
     fused_conv_pool: bool = False
+    # First CNN block (Cin=1) via the phase-split Pallas kernel
+    # (ops/pallas/conv1_phase.py).  The kernel core beats XLA 3x but the
+    # channel-first -> channels-last re-entry costs ~20-25 ms at batch 3072
+    # by every measured route, netting 0.85x (full autopsy in the kernel's
+    # docstring).  Off by default; TPU-only when on; same param tree;
+    # custom VJP makes it training-safe.
+    pallas_conv1: bool = False
 
 
 @dataclass

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -48,13 +49,47 @@ class CNNEncoder(nn.Module):
     # so this only wins if XLA fuses the cross-phase max into the conv
     # epilogues, which it does not on this toolchain.  Kept for parity study.
     fused_pool: bool = False
+    # Compute the FIRST conv+relu+pool block (single-channel input) with the
+    # phase-split Pallas kernel (ops/pallas/conv1_phase.py) — the pre-pool
+    # full-res map never touches HBM.  TPU-only: on other backends the flag
+    # is ignored (standard XLA path).  Same parameter tree either way;
+    # training-safe (custom VJP).  "interpret" forces the kernel in Pallas
+    # interpret mode on any backend (tests).
+    pallas_conv1: Any = False  # False | True | "interpret"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B, H, W, C) float -> (B, E) or (B, S, E) when output="grid"."""
         x = x.astype(self.dtype)
         fuse = self.fused_pool and self.kernel_size == 3 and self.pool_size == 2
-        for filters in self.conv_filters:
+        for block_idx, filters in enumerate(self.conv_filters):
+            interpret = self.pallas_conv1 == "interpret"
+            if (
+                self.pallas_conv1
+                and block_idx == 0
+                and x.shape[-1] == 1
+                and self.kernel_size == 3
+                and self.pool_size == 2
+                and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0
+                and (interpret or jax.default_backend() not in ("cpu",))
+            ):
+                from img2latex_tpu.ops.pallas.conv1_phase import conv1_pool
+
+                conv = nn.Conv(
+                    features=filters,
+                    kernel_size=(self.kernel_size, self.kernel_size),
+                    padding="SAME",
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                )
+                # Register the standard Conv params (identical tree to the
+                # XLA path); the dummy call's output is unused and DCE'd.
+                _ = conv(x[:1, : self.kernel_size + 1, : self.kernel_size + 1, :])
+                kernel = conv.variables["params"]["kernel"]
+                bias = conv.variables["params"]["bias"]
+                x = conv1_pool(x, kernel.astype(self.dtype), bias, interpret)
+                continue
             if fuse and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
                 conv = nn.Conv(
                     features=filters,

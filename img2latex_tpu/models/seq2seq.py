@@ -34,6 +34,7 @@ class Seq2SeqModel(nn.Module):
     kernel_size: int = 3
     pool_size: int = 2
     fused_conv_pool: bool = False  # HBM-saving conv+pool phase decomposition
+    pallas_conv1: Any = False  # first-block Pallas kernel (hardware.pallas_conv1)
     # ResNet encoder
     resnet_name: str = "resnet50"
     dtype: Any = jnp.float32
@@ -50,6 +51,7 @@ class Seq2SeqModel(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 fused_pool=self.fused_conv_pool,
+                pallas_conv1=self.pallas_conv1,
             )
         elif self.model_type == "resnet_lstm":
             self.encoder = ResNetEncoder(
@@ -129,6 +131,7 @@ def build_model(cfg: Config, vocab_size: int) -> Seq2SeqModel:
         kernel_size=cfg.model.encoder.cnn.kernel_size,
         pool_size=cfg.model.encoder.cnn.pool_size,
         fused_conv_pool=cfg.hardware.fused_conv_pool,
+        pallas_conv1=getattr(cfg.hardware, "pallas_conv1", False),
         resnet_name=cfg.model.encoder.resnet.model_name,
         dtype=dtype,
         param_dtype=param_dtype,
