@@ -97,6 +97,18 @@ def render_mathtext(formula_tokens: str, fontsize: int = 22, dpi: int = 100) -> 
     return np.asarray(img, dtype=np.uint8)
 
 
+def _render_or_none(args: Tuple[str, int]):
+    """Pool worker: render one formula, None on failure (re-sampled later)."""
+    formula, fontsize = args
+    try:
+        arr = render_mathtext(formula, fontsize=fontsize)
+        if arr.shape[0] < 8 or arr.shape[1] < 8:
+            return None
+        return arr
+    except Exception:
+        return None
+
+
 def write_mathtext_corpus(
     root: str,
     n_train: int = 512,
@@ -104,9 +116,12 @@ def write_mathtext_corpus(
     n_test: int = 64,
     seed: int = 0,
     fontsize: int = 22,
+    workers: int = 0,
 ) -> Tuple[str, int]:
     """Write a rendered-LaTeX corpus in the IM2LaTeX layout; returns
-    (root, n_failed).  Formulas that mathtext rejects are re-sampled."""
+    (root, n_failed).  Formulas that mathtext rejects are re-sampled.
+    ``workers > 0`` renders in a process pool (matplotlib is ~23 renders/s
+    per core; large corpora need the parallelism)."""
     from PIL import Image
 
     os.makedirs(os.path.join(root, "img"), exist_ok=True)
@@ -115,20 +130,33 @@ def write_mathtext_corpus(
     images: List[np.ndarray] = []
     rng_seed = seed
     failed = 0
-    while len(formulas) < total:
-        batch = random_latex_formulas(total - len(formulas) + 8, seed=rng_seed)
-        rng_seed += 1
-        for f in batch:
-            if len(formulas) >= total:
-                break
-            try:
-                arr = render_mathtext(f, fontsize=fontsize)
-                if arr.shape[0] < 8 or arr.shape[1] < 8:
-                    raise ValueError("degenerate render")
+    pool = None
+    if workers > 0:
+        import multiprocessing as mp
+
+        pool = mp.get_context("fork").Pool(workers)
+    try:
+        while len(formulas) < total:
+            batch = random_latex_formulas(total - len(formulas) + 8, seed=rng_seed)
+            rng_seed += 1
+            if pool is not None:
+                rendered = pool.map(
+                    _render_or_none, [(f, fontsize) for f in batch], chunksize=16
+                )
+            else:
+                rendered = [_render_or_none((f, fontsize)) for f in batch]
+            for f, arr in zip(batch, rendered):
+                if len(formulas) >= total:
+                    break
+                if arr is None:
+                    failed += 1
+                    continue
                 formulas.append(f)
                 images.append(arr)
-            except Exception:
-                failed += 1
+    finally:
+        if pool is not None:
+            pool.close()
+            pool.join()
     with open(os.path.join(root, "im2latex_formulas.norm.lst"), "w") as fh:
         fh.write("\n".join(formulas) + "\n")
     counts = {"train": n_train, "validate": n_val, "test": n_test}

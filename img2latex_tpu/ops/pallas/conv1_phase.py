@@ -19,9 +19,9 @@ Design — what the failed attempts taught us:
   plane at ``ph + {-1,0}`` (same for columns) — plain pad+slice taps.
 * **One image per grid program** (conv1_lane's 7k tiny programs paid
   per-program overhead): each program builds a (16, H2*W2p) patch bundle
-  with 16 shifted stores and runs four MXU matmuls
-  ``(Cout, 16) @ (16, H2*W2p)`` — one per pool phase — with a running max,
-  a few microseconds of work.
+  with 16 shifted stores and runs ONE MXU matmul
+  ``(4*Cout, 16) @ (16, H2*W2p)`` covering all four pool phases, then a
+  phase max — a few microseconds of work.
 * **Lane-tile-aligned merges only**: W2 is padded to a multiple of 128 in
   XLA so the (16, H2, W2p) -> (16, H2*W2p) merge and the (Cout, H2*W2p) ->
   (Cout, H2, W2p) split never relayout (the pattern conv1_lane proved).
@@ -30,8 +30,8 @@ The 16 tap weights: K_ab[s,t] = k[s-a, t-b] where in range, the 3x3 kernel
 embedded at offset (a, b) of a 4x4 window; bias is added after the phase max
 (constant per channel commutes with max) and ReLU last (monotone).
 
-Output is (B, Cout, H2, W2p) channel-first; the XLA wrapper crops the padded
-columns and transposes to NHWC for the next conv block.
+Output is (B, Cout, H2, W2) channel-first (pad columns cropped in-kernel);
+``layout="nhwc"`` adds the XLA transpose for API parity.
 
 STATUS (all numbers v5e chip, B=3072, 64x800 bf16, Cout=32; bit-exact
 checksum parity with XLA in every variant):
@@ -65,7 +65,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -1,0 +1,133 @@
+"""Flagship quality run: large mathtext corpus -> reference-scale CNN-LSTM
+-> free-running greedy + beam evaluation.  Produces the artifacts under
+``artifacts/mathtext_tpu_v2/`` (metrics, predictions, README numbers).
+
+Reproduces and scales up the round-1 ``artifacts/mathtext_tpu`` run:
+3x the data (49,152 train formulas), the reference-scale model
+(embed 512 / hidden 512 / 2 LSTM layers — ``config.yaml:45-48``), up to 120
+epochs with the reference's plateau LR + early stopping.
+
+Usage:
+  python scripts/run_mathtext_quality.py \
+      [--root /tmp/mathtext50k] [--workdir /tmp/mathtext_run] \
+      [--train 49152] [--val 2048] [--test 2048] [--epochs 120]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/mathtext50k")
+    ap.add_argument("--workdir", default="/tmp/mathtext_run")
+    ap.add_argument("--train", type=int, default=49152)
+    ap.add_argument("--val", type=int, default=2048)
+    ap.add_argument("--test", type=int, default=2048)
+    ap.add_argument("--epochs", type=int, default=120)
+    ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--experiment", default="mathtext_v2")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    # ---- 1) corpus (reused if already rendered) --------------------------
+    marker = os.path.join(args.root, "im2latex_train_filter.lst")
+    if not (os.path.exists(marker) and sum(1 for _ in open(marker)) == args.train):
+        from img2latex_tpu.data.mathtext import write_mathtext_corpus
+
+        t0 = time.time()
+        write_mathtext_corpus(
+            args.root, n_train=args.train, n_val=args.val, n_test=args.test,
+            seed=20260816, workers=args.workers,
+        )
+        print(f"corpus rendered in {time.time() - t0:.0f}s", flush=True)
+    else:
+        print("corpus already present, reusing", flush=True)
+
+    os.makedirs(args.workdir, exist_ok=True)
+    os.chdir(args.workdir)
+
+    from img2latex_tpu.cli import main as cli
+
+    sets = [
+        f"data.data_dir={args.root}",
+        "data.batch_size=128",
+        "data.max_seq_length=48",
+        "data.augment=true",
+        "data.eval_batch_size_multiplier=2",
+        "data.max_eval_batch_size=256",
+        "model.name=cnn_lstm",
+        "inference.max_length=48",
+        f"training.epochs={args.epochs}",
+        f"training.experiment_name={args.experiment}",
+        "training.early_stopping_patience=12",
+        "hardware.compute_dtype=bfloat16",
+    ]
+    argv = ["train"]
+    for s in sets:
+        argv += ["--set", s]
+
+    # ---- 2) train --------------------------------------------------------
+    t0 = time.time()
+    rc = cli(argv)
+    print(f"train rc={rc} in {(time.time() - t0) / 60:.1f} min", flush=True)
+    if rc != 0:
+        sys.exit(rc)
+
+    exp_dirs = sorted(glob.glob(os.path.join("outputs", args.experiment + "*")))
+    exp = exp_dirs[-1]
+    ckpt = os.path.join(exp, "checkpoints")
+
+    # ---- 3) evaluate: free-running greedy + beam-5 -----------------------
+    results = {}
+    for tag, extra in (("greedy", []), ("beam5", ["--beam-size", "5"])):
+        t0 = time.time()
+        rc = cli(
+            ["evaluate", ckpt, "--split", "test", "--output-dir",
+             os.path.join(exp, f"predictions_{tag}")] + extra
+        )
+        print(f"evaluate {tag} rc={rc} in {time.time() - t0:.0f}s", flush=True)
+        pred_file = os.path.join(exp, f"predictions_{tag}", "predictions.json")
+        with open(pred_file) as f:
+            results[tag] = json.load(f).get("metrics", {})
+
+    # ---- 4) artifacts -----------------------------------------------------
+    art = os.path.join(repo, "artifacts", "mathtext_tpu_v2")
+    os.makedirs(os.path.join(art, "sample_images"), exist_ok=True)
+    shutil.copy(os.path.join(exp, "metrics", "metrics.json"), art)
+    for f in sorted(glob.glob(os.path.join(exp, "metrics", "*enhanced*epoch_*.json")))[-1:]:
+        shutil.copy(f, art)
+    for tag in ("greedy", "beam5"):
+        shutil.copy(
+            os.path.join(exp, f"predictions_{tag}", "predictions.json"),
+            os.path.join(art, f"predictions_{tag}.json"),
+        )
+    test_list = open(os.path.join(args.root, "im2latex_test_filter.lst")).read().splitlines()
+    for line in test_list[:6]:
+        img = line.split()[0]
+        shutil.copy(os.path.join(args.root, "img", img), os.path.join(art, "sample_images", img))
+    with open(os.path.join(art, "RESULTS.json"), "w") as f:
+        json.dump(
+            {
+                "corpus": {"train": args.train, "val": args.val, "test": args.test},
+                "model": "cnn_lstm embed512 hidden512 layers2 dropout0.3 bf16 augment",
+                "free_running_test": results,
+            },
+            f,
+            indent=2,
+        )
+    print("RESULTS:", json.dumps(results), flush=True)
+    print(f"artifacts -> {art}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
