@@ -226,6 +226,20 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
 # ---------------------------------------------------------------------------
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    """Dynamic-batching HTTP inference server (no reference equivalent)."""
+    from img2latex_tpu.serving_http import serve
+
+    serve(
+        args.checkpoint,
+        host=args.host,
+        port=args.port,
+        batch_size=args.batch_size,
+        max_wait_ms=args.max_wait_ms,
+    )
+    return 0
+
+
 def cmd_visualize(args: argparse.Namespace) -> int:
     from img2latex_tpu.utils.visualize_metrics import visualize_experiment_metrics
 
@@ -372,6 +386,15 @@ def build_parser() -> argparse.ArgumentParser:
     ev.set_defaults(func=cmd_evaluate)
 
     # visualize
+    sv = sub.add_parser("serve", help="HTTP inference server (dynamic batching)")
+    sv.add_argument("checkpoint")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--batch-size", type=int, default=None)
+    sv.add_argument("--max-wait-ms", type=float, default=5.0,
+                    help="Max time to wait for a batch to fill before decoding")
+    sv.set_defaults(func=cmd_serve)
+
     vz = sub.add_parser("visualize", help="Visualize experiment metrics")
     vz.add_argument("--experiment", "-e", default=None)
     vz.add_argument("--output-dir", default=None)

@@ -96,3 +96,76 @@ class TestServer:
             r1, r2 = f1.result(60), f2.result(60)
         assert isinstance(r1, str) and isinstance(r2, str)
         assert srv.stats.batches >= 2
+
+
+class TestHTTPServer:
+    def test_endpoints(self, predictor):
+        import base64
+        import http.client
+        import json
+
+        from img2latex_tpu.serving_http import serve_in_thread
+
+        pred, images = predictor
+        with InferenceServer(pred, max_wait_ms=2.0) as srv:
+            httpd, port = serve_in_thread(srv)
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+
+                conn.request("GET", "/healthz")
+                r = conn.getresponse()
+                assert r.status == 200 and json.loads(r.read())["status"] == "ok"
+
+                # raw-bytes predict
+                raw = open(images[0], "rb").read()
+                conn.request("POST", "/predict", body=raw,
+                             headers={"Content-Type": "image/png"})
+                r = conn.getresponse()
+                assert r.status == 200
+                out1 = json.loads(r.read())["latex"]
+                assert isinstance(out1, str)
+
+                # base64-JSON predict matches raw-bytes predict
+                conn.request(
+                    "POST", "/predict",
+                    body=json.dumps({"image_b64": base64.b64encode(raw).decode()}),
+                    headers={"Content-Type": "application/json"},
+                )
+                r = conn.getresponse()
+                assert json.loads(r.read())["latex"] == out1
+
+                # batch endpoint matches direct predict_batch
+                blobs = [base64.b64encode(open(p, "rb").read()).decode() for p in images[:3]]
+                conn.request(
+                    "POST", "/predict_batch",
+                    body=json.dumps({"images_b64": blobs}),
+                    headers={"Content-Type": "application/json"},
+                )
+                r = conn.getresponse()
+                preds = json.loads(r.read())["predictions"]
+                assert len(preds) == 3 and preds[0] == out1
+
+                conn.request("GET", "/stats")
+                stats = json.loads(conn.getresponse().read())
+                assert stats["requests"] >= 5 and stats["batches"] >= 1
+
+                # unknown path -> 404 JSON
+                conn.request("GET", "/nope")
+                r = conn.getresponse()
+                assert r.status == 404
+
+                # malformed body -> 400 JSON error, server keeps serving
+                conn.request("POST", "/predict", body=b"not an image",
+                             headers={"Content-Type": "image/png"})
+                r = conn.getresponse()
+                assert r.status == 400 and "error" in json.loads(r.read())
+                conn.request("GET", "/healthz")
+                assert conn.getresponse().status == 200
+            finally:
+                httpd.shutdown()
+
+    def test_cli_has_serve_command(self):
+        from img2latex_tpu.cli import build_parser
+
+        args = build_parser().parse_args(["serve", "ckpt", "--port", "0"])
+        assert callable(args.func) and args.port == 0
