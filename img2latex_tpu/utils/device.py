@@ -105,3 +105,37 @@ def batch_size_finder(
             break
         b *= 2
     return results
+
+
+def quantize_params(params: Any, dtype: str = "bfloat16") -> Any:
+    """Reduced-precision copy of a parameter tree (floating leaves only).
+
+    Parity with the reference's temporary fp16 quantize/restore helpers
+    (``mps_utils.py:405-439``), functional-style: the reference mutates the
+    model in place and restores from a saved dict; in JAX parameters are
+    immutable pytrees, so "quantize" returns a cast copy and "restore" is
+    keeping the original tree.  bf16 is the TPU-native reduced precision.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dt = jnp.dtype(dtype)
+
+    def cast(leaf):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(dt)
+        return leaf
+
+    return jax.tree_util.tree_map(cast, params)
+
+
+def param_bytes(params: Any) -> int:
+    """Total bytes of all array leaves (reference logs MB before/after
+    quantization, ``mps_utils.py:423-431``)."""
+    import jax
+
+    return sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree_util.tree_leaves(params)
+        if hasattr(leaf, "dtype")
+    )

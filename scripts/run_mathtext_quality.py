@@ -3,14 +3,14 @@
 ``artifacts/mathtext_tpu_v2/`` (metrics, predictions, README numbers).
 
 Reproduces and scales up the round-1 ``artifacts/mathtext_tpu`` run:
-3x the data (49,152 train formulas), the reference-scale model
+1.5x the data (24,576 train formulas), the reference-scale model
 (embed 512 / hidden 512 / 2 LSTM layers — ``config.yaml:45-48``), up to 120
 epochs with the reference's plateau LR + early stopping.
 
 Usage:
   python scripts/run_mathtext_quality.py \
       [--root /tmp/mathtext50k] [--workdir /tmp/mathtext_run] \
-      [--train 49152] [--val 2048] [--test 2048] [--epochs 120]
+      [--train 24576] [--val 1024] [--test 1024] [--epochs 120]
 """
 
 from __future__ import annotations
@@ -28,11 +28,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/mathtext50k")
     ap.add_argument("--workdir", default="/tmp/mathtext_run")
-    ap.add_argument("--train", type=int, default=49152)
-    ap.add_argument("--val", type=int, default=2048)
-    ap.add_argument("--test", type=int, default=2048)
+    ap.add_argument("--train", type=int, default=24576)
+    ap.add_argument("--val", type=int, default=1024)
+    ap.add_argument("--test", type=int, default=1024)
     ap.add_argument("--epochs", type=int, default=120)
-    ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--workers", type=int, default=0)  # this host has 1 core; pool adds nothing
     ap.add_argument("--experiment", default="mathtext_v2")
     args = ap.parse_args()
 
@@ -62,7 +62,9 @@ def main() -> None:
         f"data.data_dir={args.root}",
         "data.batch_size=128",
         "data.max_seq_length=48",
-        "data.augment=true",
+        # 1-core host: augmentation makes every epoch host-bound; preload instead.
+        "data.augment=false",
+        "data.load_in_memory=true",
         "data.eval_batch_size_multiplier=2",
         "data.max_eval_batch_size=256",
         "model.name=cnn_lstm",
@@ -119,7 +121,7 @@ def main() -> None:
         json.dump(
             {
                 "corpus": {"train": args.train, "val": args.val, "test": args.test},
-                "model": "cnn_lstm embed512 hidden512 layers2 dropout0.3 bf16 augment",
+                "model": "cnn_lstm embed512 hidden512 layers2 dropout0.3 bf16 (no augment: 1-core host)",
                 "free_running_test": results,
             },
             f,

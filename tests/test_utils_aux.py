@@ -168,3 +168,18 @@ class TestErrorPatterns:
         assert "unbalanced_parens" in self._hits("\\sin ( x")
         assert "bad_frac" in self._hits("\\frac x y")
         assert "missing_backslash_command" in self._hits("frac { a } { b }")
+
+
+class TestQuantizeParams:
+    def test_casts_float_leaves_only(self):
+        import jax.numpy as jnp
+
+        from img2latex_tpu.utils.device import param_bytes, quantize_params
+
+        tree = {"w": jnp.ones((4, 4), jnp.float32), "step": jnp.array(3, jnp.int32)}
+        q = quantize_params(tree, "bfloat16")
+        assert q["w"].dtype == jnp.bfloat16
+        assert q["step"].dtype == jnp.int32  # non-float untouched
+        assert param_bytes(q) < param_bytes(tree)
+        # original is intact (the "restore" story)
+        assert tree["w"].dtype == jnp.float32
