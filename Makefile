@@ -6,8 +6,9 @@ EXPERIMENT ?= img2latex_cnn
 CHECKPOINT ?= outputs/$(EXPERIMENT)/checkpoints
 DATA_DIR ?= data
 
-.PHONY: help test test-fast lint train train-resnet predict evaluate metrics \
-        curves report analyze-images analyze-project bench dryrun native clean
+.PHONY: help test test-fast lint train train-resnet predict evaluate serve metrics \
+        curves report analyze-images analyze-project bench bench-beam bench-train \
+        bench-kernels quality-run dryrun native clean
 
 help:
 	@grep -E '^[a-z-]+:' Makefile | sed 's/:.*//' | sort | uniq
@@ -50,6 +51,22 @@ analyze-project:
 
 bench:
 	$(PY) bench.py
+
+bench-beam:
+	$(PY) bench_beam.py
+
+bench-train:
+	$(PY) bench_train.py
+
+bench-kernels:  # decode paths + conv1 kernel microbenches (real TPU)
+	$(PY) scripts/bench_decode_paths.py
+	$(PY) scripts/bench_conv1.py
+
+serve:
+	$(PY) -m img2latex_tpu serve $(CHECKPOINT) --port 8000
+
+quality-run:  # rendered-LaTeX corpus -> train -> free-running eval -> artifacts
+	$(PY) scripts/run_mathtext_quality.py
 
 dryrun:
 	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 $(PY) __graft_entry__.py
