@@ -48,7 +48,7 @@ def main() -> None:
     from img2latex_tpu.ops.preprocess import normalize_images
     from img2latex_tpu.parallel.mesh import create_mesh, put_batch, put_replicated
 
-    use_pallas = jax.default_backend() not in ("cpu",)
+    use_pallas = jax.default_backend() in ("tpu", "axon")
 
     n_dev = jax.device_count()
     batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 3072

@@ -134,7 +134,11 @@ def write_mathtext_corpus(
     if workers > 0:
         import multiprocessing as mp
 
-        pool = mp.get_context("fork").Pool(workers)
+        # fork shares the warm matplotlib state; fall back to the platform
+        # default (spawn) where fork does not exist — _render_or_none is a
+        # picklable module-level function either way.
+        method = "fork" if "fork" in mp.get_all_start_methods() else None
+        pool = mp.get_context(method).Pool(workers)
     try:
         while len(formulas) < total:
             batch = random_latex_formulas(total - len(formulas) + 8, seed=rng_seed)

@@ -72,7 +72,10 @@ class CNNEncoder(nn.Module):
                 and self.pool_size == 2
                 and x.shape[1] % 2 == 0
                 and x.shape[2] % 2 == 0
-                and (interpret or jax.default_backend() not in ("cpu",))
+                # TPU-only (the kernel targets Mosaic; "axon" is the
+                # tunneled-TPU plugin's backend name) — NOT just non-cpu,
+                # or a GPU backend would crash in lowering.
+                and (interpret or jax.default_backend() in ("tpu", "axon"))
             ):
                 from img2latex_tpu.ops.pallas.conv1_phase import conv1_pool
 

@@ -102,8 +102,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:  # noqa: N802
         parsed = urlparse(self.path)
-        opts = _decode_options(parsed.query)
         try:
+            opts = _decode_options(parsed.query)  # bad numerics -> JSON 400
             body = self._read_body()
             if parsed.path == "/predict":
                 ctype = self.headers.get("Content-Type", "")
@@ -125,9 +125,17 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             else:
                 self._send_json({"error": f"unknown path {parsed.path}"}, status=404)
-        except Exception as exc:  # surface as a JSON 400/500, keep serving
+        except Exception as exc:  # surface as JSON, keep serving
+            import concurrent.futures
+
             logger.exception("request failed")
-            self._send_json({"error": f"{type(exc).__name__}: {exc}"}, status=400)
+            if isinstance(exc, concurrent.futures.TimeoutError):
+                status = 504  # batch worker overloaded — a server fault
+            elif isinstance(exc, (ValueError, KeyError, json.JSONDecodeError, OSError)):
+                status = 400  # malformed body/params/image
+            else:
+                status = 500
+            self._send_json({"error": f"{type(exc).__name__}: {exc}"}, status=status)
 
 
 def make_http_server(

@@ -150,7 +150,8 @@ class Predictor:
             and not dcfg.sampling
             and not dcfg.early_exit  # the fused kernel always runs max_length steps
             and getattr(self.cfg.model, "memory", "vector") == "vector"
-            and jax.default_backend() not in ("cpu",)
+            # TPU-only (Mosaic kernel); "axon" = tunneled-TPU plugin backend.
+            and jax.default_backend() in ("tpu", "axon")
         )
         if use_pallas:
             from img2latex_tpu.ops.pallas.decode_step import (

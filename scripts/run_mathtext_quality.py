@@ -39,9 +39,16 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
 
-    # ---- 1) corpus (reused if already rendered) --------------------------
-    marker = os.path.join(args.root, "im2latex_train_filter.lst")
-    if not (os.path.exists(marker) and sum(1 for _ in open(marker)) == args.train):
+    # ---- 1) corpus (reused only if every split matches) ------------------
+    def _split_ok(name: str, want: int) -> bool:
+        p = os.path.join(args.root, f"im2latex_{name}_filter.lst")
+        return os.path.exists(p) and sum(1 for _ in open(p)) == want
+
+    if not (
+        _split_ok("train", args.train)
+        and _split_ok("validate", args.val)
+        and _split_ok("test", args.test)
+    ):
         from img2latex_tpu.data.mathtext import write_mathtext_corpus
 
         t0 = time.time()
@@ -106,7 +113,17 @@ def main() -> None:
     art = os.path.join(repo, "artifacts", "mathtext_tpu_v2")
     os.makedirs(os.path.join(art, "sample_images"), exist_ok=True)
     shutil.copy(os.path.join(exp, "metrics", "metrics.json"), art)
-    for f in sorted(glob.glob(os.path.join(exp, "metrics", "*enhanced*epoch_*.json")))[-1:]:
+    def _epoch_num(path: str) -> int:
+        import re
+
+        m = re.search(r"epoch_(\d+)", path)
+        return int(m.group(1)) if m else -1
+
+    # numeric sort: 'epoch_9' must not beat 'epoch_115' lexicographically
+    enhanced = sorted(
+        glob.glob(os.path.join(exp, "metrics", "*enhanced*epoch_*.json")), key=_epoch_num
+    )
+    for f in enhanced[-1:]:
         shutil.copy(f, art)
     for tag in ("greedy", "beam5"):
         shutil.copy(

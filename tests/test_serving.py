@@ -159,6 +159,14 @@ class TestHTTPServer:
                              headers={"Content-Type": "image/png"})
                 r = conn.getresponse()
                 assert r.status == 400 and "error" in json.loads(r.read())
+
+                # malformed NUMERIC QUERY PARAM -> 400 JSON (regression: used
+                # to crash the handler before the try block and drop the
+                # connection with no response)
+                conn.request("POST", "/predict?beam_size=abc", body=raw,
+                             headers={"Content-Type": "image/png"})
+                r = conn.getresponse()
+                assert r.status == 400 and "error" in json.loads(r.read())
                 conn.request("GET", "/healthz")
                 assert conn.getresponse().status == 200
             finally:
