@@ -75,7 +75,7 @@ LANE = 128
 _TAPS = ((1, -1), (0, 0), (1, 0), (0, 1))
 
 
-def _kernel(H2: int, W2: int, W2p: int, Cout: int, *refs):
+def _kernel(H2: int, W2: int, W2p: int, Cout: int, nhwc_out: bool, *refs):
     """refs: [x_ee x_eo x_oe x_oo (1, H2, W2p)] [kT (4*Cout, 16)]
     [bias (Cout, 1) f32] -> out (1, Cout, H2, W2) channel-FIRST;
     scratch pat (16, H2, W2p).  Plane naming: x_<row parity><col parity>.
@@ -117,6 +117,14 @@ def _kernel(H2: int, W2: int, W2p: int, Cout: int, *refs):
     y = jnp.dot(kT_ref[:], pat2, preferred_element_type=jnp.float32)  # (4C, M)
     y = jnp.max(y.reshape(4, Cout, H2 * W2p), axis=0)  # phase max (C, M)
     y = jnp.maximum(y + bias_ref[:], 0.0).astype(dtype)
+    if nhwc_out:  # channels-last out: per-output-row
+        # transposes (experimental alternative to the whole-array swapaxes,
+        # which measured +18 ms at B=3072 — see module STATUS)
+        y3 = y.reshape(Cout, H2, W2p)
+        for h in range(H2):
+            row = jax.lax.slice(y3, (0, h, 0), (Cout, h + 1, W2))[:, 0, :]
+            out_ref[0, h] = jnp.swapaxes(row, 0, 1)  # (W2, Cout)
+        return
     y = y.reshape(Cout, H2, W2p)  # aligned split (W2p % 128 == 0)
     out_ref[0] = jax.lax.slice(y, (0, 0, 0), (Cout, H2, W2))  # crop pad cols
 
@@ -162,11 +170,14 @@ def fused_conv1_pool(
     ``layout="nchw"`` returns (B, Cout, H//2, W//2) — the kernel's native
     orientation, free; pair it with a consumer that accepts channel-first
     input (``lax.conv_general_dilated`` dimension_numbers
-    ('NCHW', 'HWIO', 'NHWC') re-enters channels-last at the next conv)."""
+    ('NCHW', 'HWIO', 'NHWC') re-enters channels-last at the next conv).
+    ``layout="nhwc_kernel"`` returns channels-last via per-output-row
+    (Cout, W2) transposes inside the kernel — experimental alternative to
+    the whole-array relayout."""
     B, H, W, Cin = x.shape
     assert Cin == 1, "phase-split conv1 kernel requires Cin=1"
     assert H % 2 == 0 and W % 2 == 0, "H and W must be even for 2x2 pooling"
-    assert layout in ("nhwc", "nchw"), layout
+    assert layout in ("nhwc", "nchw", "nhwc_kernel"), layout
     Cout = kernel.shape[-1]
     H2, W2 = H // 2, W // 2
     W2p = _round_up(W2, LANE)
@@ -182,8 +193,12 @@ def fused_conv1_pool(
     kT = pack_conv1_taps(kernel).astype(dtype)  # (4*Cout, 16)
     bias2 = jnp.asarray(bias, jnp.float32).reshape(Cout, 1)
 
-    kern = functools.partial(_kernel, H2, W2, W2p, Cout)
+    kern = functools.partial(_kernel, H2, W2, W2p, Cout, layout == "nhwc_kernel")
     plane_spec = pl.BlockSpec((1, H2, W2p), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    if layout == "nhwc_kernel":
+        out_block, out_arr = (1, H2, W2, Cout), (B, H2, W2, Cout)
+    else:
+        out_block, out_arr = (1, Cout, H2, W2), (B, Cout, H2, W2)
     out = pl.pallas_call(
         kern,
         grid=(B,),
@@ -192,14 +207,12 @@ def fused_conv1_pool(
             pl.BlockSpec((4 * Cout, 16), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Cout, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, Cout, H2, W2), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, Cout, H2, W2), dtype),
+        out_specs=pl.BlockSpec(out_block, lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(out_arr, dtype),
         scratch_shapes=[pltpu.VMEM((16, H2, W2p), dtype)],
         interpret=interpret,
     )(*planes, kT, bias2)
-    if layout == "nchw":
+    if layout in ("nchw", "nhwc_kernel"):
         return out
     return jnp.transpose(out, (0, 2, 3, 1))
 

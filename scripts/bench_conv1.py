@@ -52,9 +52,16 @@ def main() -> None:
     def pallas_path(x):
         return fused_conv1_pool(x, k, b)
 
+    def pallas_nhwc_kernel(x):
+        return fused_conv1_pool(x, k, b, layout="nhwc_kernel")
+
     checksum = jax.jit(lambda t, acc: acc + jnp.sum(t.astype(jnp.float32)))
     results = {}
-    for name, fn in (("xla", jax.jit(xla_path)), ("pallas_phase", jax.jit(pallas_path))):
+    for name, fn in (
+        ("xla", jax.jit(xla_path)),
+        ("pallas_phase", jax.jit(pallas_path)),
+        ("pallas_nhwc_kernel", jax.jit(pallas_nhwc_kernel)),
+    ):
         t0 = time.perf_counter()
         out = fn(x)
         ref = float(checksum(out, jnp.float32(0)))

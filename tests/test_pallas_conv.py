@@ -162,3 +162,14 @@ class TestConv1PhaseEncoderIntegration:
         params = enc.init(jax.random.PRNGKey(2), x)
         out = enc.apply(params, x)
         assert out.shape == (1, 32)
+
+    def test_nhwc_kernel_layout_matches(self):
+        from img2latex_tpu.ops.pallas.conv1_phase import fused_conv1_pool
+
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.normal(size=(2, 8, 100, 1)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(3, 3, 1, 16)).astype(np.float32)) * 0.2
+        b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32)) * 0.1
+        a = fused_conv1_pool(x, k, b, interpret=True, layout="nhwc")
+        c = fused_conv1_pool(x, k, b, interpret=True, layout="nhwc_kernel")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
