@@ -64,6 +64,9 @@ def main() -> None:
     cfg.model.encoder.cnn.img_width = IMG_W
     cfg.data.max_seq_length = MAX_LEN
     cfg.hardware.compute_dtype = "bfloat16"
+    # Phase-split conv1 kernel: 1.06x the XLA conv1 block at batch 3072
+    # (scripts/bench_conv1.py; bit-exact checksums).
+    cfg.hardware.pallas_conv1 = use_pallas
 
     model = build_model(cfg, VOCAB)
     rng = np.random.default_rng(0)

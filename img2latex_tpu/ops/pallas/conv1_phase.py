@@ -45,14 +45,20 @@ checksum parity with XLA in every variant):
   (VMEM OOM, or +47 ms chunked); feeding conv2 NCHW via dimension_numbers
   ('NCHW','HWIO','NHWC') makes XLA relayout inside conv2 (chain bench
   scripts/bench_conv1_chain.py: 0.985x — a tie).
-* Net: full pipeline 44.7 ms vs XLA 37.9 ms (0.85x).  The open round-2+
-  problem is purely the half-res layout flip; candidate attack: make conv2
-  phase-split too, so channel-first propagates to the (tiny) conv3/flatten
-  boundary where the transpose costs nothing.
+* Cropping the pad columns IN-kernel (store (C, H2, W2) instead of
+  (C, H2, W2p)) shrank the downstream transpose enough to flip the verdict:
+  full pipeline **36.2 ms vs XLA 38.3 ms (1.06x)** — the shipped
+  configuration (layout="nhwc": kernel NCHW + XLA transpose).  In-kernel
+  per-output-row transposes (layout="nhwc_kernel") measured 49.5 ms; kept
+  for the record.
+* The remaining gap to the 13 ms kernel core is still the layout flip
+  (~18 ms); see STATUS.md round-2 notes for why a phase-split conv2 is NOT
+  the answer (16-tap form inflates compute-bound conv2 FLOPs 1.78x).
 
-Flag ``hardware.pallas_conv1`` therefore defaults **off**; the kernel stays
-as a correctness-tested, measured building block (scripts/bench_conv1.py,
-scripts/bench_conv1_parts.py, scripts/bench_conv1_chain.py).
+Flag ``hardware.pallas_conv1`` defaults off (training pays a recompute-VJP;
+the gain is inference-side); ``bench.py`` and inference deployments enable
+it explicitly.  Benches: scripts/bench_conv1.py, bench_conv1_parts.py,
+bench_conv1_chain.py.
 
 Reference semantics covered: first CNN block of ``encoder.py:74-107``
 (conv 3x3 SAME + ReLU + maxpool 2x2 on 1-channel images).
