@@ -45,6 +45,8 @@ def main() -> None:
     cfg.model.encoder.cnn.img_height = IMG_H
     cfg.model.encoder.cnn.img_width = IMG_W
     cfg.hardware.compute_dtype = "bfloat16"
+    # Same conv1 fast path as bench.py (1.06x the XLA conv1 block on chip).
+    cfg.hardware.pallas_conv1 = jax.default_backend() in ("tpu", "axon")
     model = build_model(cfg, VOCAB)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, size=(B, IMG_H, IMG_W, IMG_C), dtype=np.uint8))
