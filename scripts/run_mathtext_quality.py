@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--workers", type=int, default=0)  # this host has 1 core; pool adds nothing
     ap.add_argument("--experiment", default="mathtext_v2")
+    ap.add_argument("--artifacts", default="mathtext_tpu_v2",
+                    help="artifacts/<name> output directory")
+    ap.add_argument("--set", action="append", default=[], dest="extra_sets",
+                    metavar="KEY=VALUE", help="extra config overrides (appended last)")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -91,7 +95,7 @@ def main() -> None:
         "hardware.compute_dtype=bfloat16",
     ]
     argv = ["train"]
-    for s in sets:
+    for s in sets + args.extra_sets:
         argv += ["--set", s]
 
     # ---- 2) train --------------------------------------------------------
@@ -119,7 +123,7 @@ def main() -> None:
             results[tag] = json.load(f).get("metrics", {})
 
     # ---- 4) artifacts -----------------------------------------------------
-    art = os.path.join(repo, "artifacts", "mathtext_tpu_v2")
+    art = os.path.join(repo, "artifacts", args.artifacts)
     os.makedirs(os.path.join(art, "sample_images"), exist_ok=True)
     shutil.copy(os.path.join(exp, "metrics", "metrics.json"), art)
     def _epoch_num(path: str) -> int:
@@ -148,6 +152,7 @@ def main() -> None:
             {
                 "corpus": {"train": args.train, "val": args.val, "test": args.test},
                 "model": "cnn_lstm embed256 hidden384 layers2 dropout0.2 bf16 (no augment: 1-core host)",
+                "extra_sets": args.extra_sets,
                 "free_running_test": results,
             },
             f,
