@@ -181,6 +181,24 @@ def greedy_sample_decode(
 # ---------------------------------------------------------------------------
 
 
+def topk_iterative(flat: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """k iterative (argmax, mask) passes — output-identical to
+    ``jax.lax.top_k`` (argmax and top_k both prefer the lower index on ties)
+    but avoids its sort lowering, which dominates beam-step time on TPU for
+    small k over a K*V axis."""
+    NEG = jnp.asarray(-jnp.inf, flat.dtype)
+    n = flat.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, flat.shape, flat.ndim - 1)
+    vals, idxs = [], []
+    cur = flat
+    for _ in range(k):
+        i = jnp.argmax(cur, axis=-1).astype(jnp.int32)
+        vals.append(jnp.max(cur, axis=-1))
+        idxs.append(i)
+        cur = jnp.where(iota == i[..., None], NEG, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def beam_decode(
     step_fn: StepFn,
     carry0,
@@ -198,16 +216,28 @@ def beam_decode(
     NEG = jnp.float32(-1e30)
 
     def gather_beams(tree, beam_idx):
-        """Reindex the B*K axis of every leaf by beam_idx (B, K)."""
-        flat_idx = beam_idx + (jnp.arange(batch_size, dtype=beam_idx.dtype) * K)[:, None]
-        flat_idx = flat_idx.reshape(-1)  # (B*K,)
+        """Reindex the B*K axis of every leaf by beam_idx (B, K) via a
+        one-hot batched matmul — exact (each row is selected once, scaled by
+        1.0) and MXU/VPU-friendly, unlike a flat ``jnp.take`` whose gather
+        lowering is scatter-heavy on TPU."""
+        onehot = (
+            beam_idx[..., None] == jnp.arange(K, dtype=beam_idx.dtype)
+        )  # (B, K_new, K_old) bool
 
         def gather_leaf(leaf):
             if leaf.ndim >= 2 and leaf.shape[-2] == batch_size * K:
                 # e.g. LSTM carry (L, B*K, H)
-                return jnp.take(leaf, flat_idx, axis=-2)
+                lead = leaf.shape[:-2]
+                x = leaf.reshape(lead + (batch_size, K, leaf.shape[-1]))
+                sel = jnp.einsum(
+                    "bnk,...bkh->...bnh", onehot.astype(leaf.dtype), x
+                )
+                return sel.reshape(leaf.shape)
             if leaf.shape[0] == batch_size * K:
-                return jnp.take(leaf, flat_idx, axis=0)
+                x = leaf.reshape((batch_size, K) + leaf.shape[1:])
+                oh = onehot.astype(leaf.dtype)
+                oh = oh.reshape(oh.shape + (1,) * (x.ndim - 2))
+                return jnp.sum(oh * x[:, None], axis=2).reshape(leaf.shape)
             return leaf
 
         return jax.tree_util.tree_map(gather_leaf, tree)
@@ -226,7 +256,7 @@ def beam_decode(
         logp = jnp.where(fin[..., None], pad_onehot[None, None, :], logp)
         total = scores[..., None] + logp  # (B, K, V)
         flat = total.reshape(batch_size, K * V)
-        new_scores, flat_idx = jax.lax.top_k(flat, K)  # (B, K)
+        new_scores, flat_idx = topk_iterative(flat, K)  # (B, K)
         beam_idx = flat_idx // V
         token_idx = (flat_idx % V).astype(jnp.int32)
 

@@ -327,3 +327,24 @@ class TestTrim:
         )
         out = trim_host(arr, END, PAD, start_id=START)
         assert out == [[5, 6], [7, 8, 9, 5, 6], [5]]
+
+
+class TestTopkIterative:
+    def test_matches_lax_top_k(self):
+        from img2latex_tpu.decoding.decode import topk_iterative
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(7, 40)).astype(np.float32))
+        for k in (1, 3, 5):
+            v_ref, i_ref = jax.lax.top_k(x, k)
+            v, i = topk_iterative(x, k)
+            np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+
+    def test_tie_break_prefers_lower_index(self):
+        from img2latex_tpu.decoding.decode import topk_iterative
+
+        x = jnp.asarray([[1.0, 3.0, 3.0, 2.0]])
+        v, i = topk_iterative(x, 3)
+        v_ref, i_ref = jax.lax.top_k(x, 3)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
