@@ -73,6 +73,12 @@ class Predictor:
         if "config" not in meta or "tokenizer_config" not in meta:
             raise ValueError(f"Checkpoint at {path} lacks config/tokenizer sidecars")
         cfg = config_from_dict(meta["config"])
+        # Inference-side fast path: the phase-split conv1 kernel is bit-exact
+        # vs the XLA block and 1.06x faster on chip (scripts/bench_conv1.py);
+        # training leaves it off (its custom VJP recomputes the forward), so
+        # flip it on here where only the forward runs.  TPU-gated inside the
+        # encoder — harmless elsewhere.
+        cfg.hardware.pallas_conv1 = True
         tokenizer = LaTeXTokenizer.from_config(meta["tokenizer_config"])
         model = build_model(cfg, tokenizer.vocab_size)
         params = state["params"]
