@@ -52,6 +52,13 @@ class DataConfig:
     # TPU addition: train-time augmentation (the reference ships augmentation
     # that is dead code, dataset.py:303-318,487-494; here it works, default off).
     augment: bool = False
+    # TPU addition: keep the whole train split device-resident (uint8 images
+    # + token ids in HBM) and gather each batch on device by a per-epoch
+    # permutation.  Zero host->device traffic in steady state — removes the
+    # per-step dispatch/upload overhead (and, on the tunneled dev platform,
+    # its host-RAM transfer leak; see STATUS.md).  Requires augment=false
+    # (augmentation is host-side PIL) and the split to fit the HBM budget.
+    device_cache: bool = False
 
 
 @dataclass

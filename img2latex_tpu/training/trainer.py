@@ -112,6 +112,8 @@ class Trainer:
         self.start_epoch = 0
         self.best_val_loss = float("inf")
         self.history: Dict[int, Dict[str, float]] = {}
+        self._device_cache = None  # lazy HBM-resident train split (data.device_cache)
+        self._cached_step = None
 
         if self.registry is not None and self.registry.get(self.experiment_name) is None:
             self.registry.register_experiment(
@@ -179,10 +181,91 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
-    def train_epoch(self, epoch: int) -> Dict[str, float]:
+    # ------------------------------------------------------------------
+    def _use_device_cache(self) -> bool:
+        return bool(
+            getattr(self.cfg.data, "device_cache", False) and not self.cfg.data.augment
+        )
+
+    def _get_device_cache(self):
+        """HBM-resident train split: images (N,H,W,C) uint8 + token ids
+        (N,L) int32, uploaded ONCE.  Batches are gathered on device by a
+        per-epoch permutation — no per-step host->device traffic."""
+        if self._device_cache is not None:
+            return self._device_cache
+        ds = self.loaders["train"].dataset
+        n = len(ds)
+        h, w, c = self.cfg.image_shape
+        est = n * h * w * c
+        budget = 4 * 1024**3  # leave HBM headroom for model + activations
+        if est > budget:
+            logger.warning(
+                "device_cache would use %.1f GB of HBM (> %.1f GB budget); "
+                "falling back to the host loader",
+                est / 1e9,
+                budget / 1e9,
+            )
+            self._device_cache = False
+            return False
+        imgs = np.zeros((n, h, w, c), np.uint8)
+        forms = np.zeros((n, self.tokenizer.max_sequence_length), np.int32)
+        for i in range(n):
+            imgs[i] = ds.image(i)
+            forms[i] = ds.token_ids(i)
+        self._device_cache = {
+            "images": jnp.asarray(imgs),
+            "formulas": jnp.asarray(forms),
+            "n": n,
+        }
+        logger.info("device_cache: %d samples (%.2f GB) resident in HBM", n, est / 1e9)
+        return self._device_cache
+
+    def _get_cached_step(self):
+        if self._cached_step is not None:
+            return self._cached_step
+        B = self.cfg.data.batch_size
+        train_step = self.train_step
+
+        @jax.jit
+        def cached_step(state, images_all, formulas_all, perm, i, rng):
+            idx = jax.lax.dynamic_slice(perm, (i * B,), (B,))
+            batch = {
+                "images": jnp.take(images_all, idx, axis=0),
+                "formulas": jnp.take(formulas_all, idx, axis=0),
+            }
+            return train_step(state, batch, rng)
+
+        self._cached_step = cached_step
+        return cached_step
+
+    def _epoch_steps(self, epoch: int, epoch_rng):
+        """Yield zero-arg step thunks for one epoch — either gathered on
+        device from the HBM cache or uploaded per batch by the host loader."""
+        cache = self._get_device_cache() if self._use_device_cache() else False
+        if cache:
+            B = self.cfg.data.batch_size
+            n_steps = cache["n"] // B  # matches the host loader's drop_last
+            perm = np.random.default_rng(
+                self.cfg.training.seed * 7919 + epoch
+            ).permutation(cache["n"]).astype(np.int32)
+            perm_dev = jnp.asarray(perm)
+            step = self._get_cached_step()
+            for i in range(n_steps):
+                yield lambda st, rng, i=i: step(
+                    st, cache["images"], cache["formulas"], perm_dev, jnp.int32(i), rng
+                )
+            return
         loader = self.loaders["train"]
         if hasattr(loader, "set_epoch"):
             loader.set_epoch(epoch)
+        for batch in loader:
+            device_batch = {
+                "images": jnp.asarray(batch["images"]),
+                "formulas": jnp.asarray(batch["formulas"]),
+            }
+            yield lambda st, rng, db=device_batch: self.train_step(st, db, rng)
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
         step_ckpt_every = self.cfg.training.save_checkpoint_steps
         t0 = time.time()
         self.rng, epoch_rng = jax.random.split(self.rng)
@@ -194,12 +277,8 @@ class Trainer:
         host_step = getattr(self, "_host_step", None)
         if host_step is None:
             host_step = int(self.state.step)
-        for i, batch in enumerate(loader):
-            device_batch = {
-                "images": jnp.asarray(batch["images"]),
-                "formulas": jnp.asarray(batch["formulas"]),
-            }
-            self.state, metrics = self.train_step(self.state, device_batch, epoch_rng)
+        for i, invoke in enumerate(self._epoch_steps(epoch, epoch_rng)):
+            self.state, metrics = invoke(self.state, epoch_rng)
             acc = {k: metrics[k] for k in ("loss", "correct", "total")}
             totals = acc if totals is None else jax.tree_util.tree_map(jnp.add, totals, acc)
             n_batches += 1

@@ -74,9 +74,12 @@ def main() -> None:
         f"data.data_dir={args.root}",
         "data.batch_size=128",
         "data.max_seq_length=48",
-        # 1-core host: augmentation makes every epoch host-bound; preload instead.
+        # 1-core host: augmentation makes every epoch host-bound.  The train
+        # split lives in HBM (device_cache): batches gather on device, no
+        # per-step uploads (also immune to the tunnel's transfer leak,
+        # STATUS.md) — measured 4x wall-clock on the 3-epoch probe.
         "data.augment=false",
-        "data.load_in_memory=true",
+        "data.device_cache=true",
         "data.eval_batch_size_multiplier=2",
         "data.max_eval_batch_size=256",
         "model.name=cnn_lstm",

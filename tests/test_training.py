@@ -248,3 +248,54 @@ class TestGridMemory:
         greedy = pred.predict_batch(imgs)
         beam = pred.predict_batch(imgs, beam_size=2)
         assert len(greedy) == 2 and len(beam) == 2
+
+
+class TestDeviceCache:
+    """data.device_cache: HBM-resident train split, on-device batch gather."""
+
+    def _make_trainer(self, corpus, tmp_path, device_cache):
+        cfg = tiny_config(corpus)
+        cfg.data.device_cache = device_cache
+        cfg.training.epochs = 2
+        tok = LaTeXTokenizer(max_sequence_length=cfg.data.max_seq_length)
+        tok.fit(read_formulas(os.path.join(corpus, "im2latex_formulas.norm.lst")))
+        loaders = create_data_loaders(cfg, tok)
+        paths = PathManager(str(tmp_path))
+        paths.outputs_dir.mkdir(parents=True, exist_ok=True)
+        return Trainer(cfg, tok, loaders, paths=paths, experiment_name=f"dc_{device_cache}")
+
+    def test_cached_step_matches_explicit_batch(self, corpus, tmp_path):
+        tr = self._make_trainer(corpus, tmp_path / "a", True)
+        cache = tr._get_device_cache()
+        assert cache and cache["n"] == 32
+        B = tr.cfg.data.batch_size
+        perm = jnp.asarray(np.arange(cache["n"], dtype=np.int32))
+        rng = jax.random.PRNGKey(5)
+        step = tr._get_cached_step()
+        state_a, metrics_a = step(
+            tr.state, cache["images"], cache["formulas"], perm, jnp.int32(1), rng
+        )
+        # identical to the plain train step on the explicitly sliced batch
+        batch = {
+            "images": cache["images"][B : 2 * B],
+            "formulas": cache["formulas"][B : 2 * B],
+        }
+        state_b, metrics_b = tr.train_step(tr.state, batch, rng)
+        np.testing.assert_array_equal(
+            np.asarray(metrics_a["loss"]), np.asarray(metrics_b["loss"])
+        )
+        la = jax.tree_util.tree_leaves(state_a.params)
+        lb = jax.tree_util.tree_leaves(state_b.params)
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_end_to_end_trains_and_is_deterministic(self, corpus, tmp_path):
+        final = []
+        for run in ("r1", "r2"):
+            tr = self._make_trainer(corpus, tmp_path / run, True)
+            tr.train()
+            final.append(tr.history[max(tr.history)]["train_loss"])
+            assert np.isfinite(final[-1])
+        assert final[0] == final[1]  # same seed -> identical trajectory
+        # and it actually learned vs epoch 1
+        assert tr.history[max(tr.history)]["train_loss"] < tr.history[min(tr.history)]["train_loss"] + 1e-6
