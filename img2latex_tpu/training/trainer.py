@@ -238,6 +238,84 @@ class Trainer:
         self._cached_step = cached_step
         return cached_step
 
+    def _get_val_device_cache(self):
+        """HBM-resident validate split, padded to a whole number of eval
+        batches (pad rows: zero images + all-PAD formulas, which contribute
+        zero to the masked loss/accuracy — the same contract as the host
+        loader's padded tail)."""
+        if getattr(self, "_val_device_cache", None) is not None:
+            return self._val_device_cache
+        loader = self.loaders.get("validate")
+        if loader is None:
+            self._val_device_cache = False
+            return False
+        ds = loader.dataset
+        n = len(ds)
+        B = loader.batch_size
+        h, w, c = self.cfg.image_shape
+        n_pad = ((n + B - 1) // B) * B
+        if n_pad * h * w * c > 2 * 1024**3:
+            logger.warning("val device_cache over HBM budget; using the host loader")
+            self._val_device_cache = False
+            return False
+        imgs = np.zeros((n_pad, h, w, c), np.uint8)
+        forms = np.full(
+            (n_pad, self.tokenizer.max_sequence_length),
+            self.tokenizer.pad_token_id,
+            np.int32,
+        )
+        for i in range(n):
+            imgs[i] = ds.image(i)
+            forms[i] = ds.token_ids(i)
+        self._val_device_cache = {
+            "images": jnp.asarray(imgs),
+            "formulas": jnp.asarray(forms),
+            "formulas_host": forms,
+            "n": n,
+            "batch": B,
+        }
+        return self._val_device_cache
+
+    def _get_cached_eval_step(self):
+        if getattr(self, "_cached_eval_step", None) is not None:
+            return self._cached_eval_step
+        eval_step = self.eval_step
+        B = self.loaders["validate"].batch_size
+
+        @jax.jit
+        def cached_eval(state, images_all, formulas_all, i):
+            start = i * B
+            batch = {
+                "images": jax.lax.dynamic_slice_in_dim(images_all, start, B, 0),
+                "formulas": jax.lax.dynamic_slice_in_dim(formulas_all, start, B, 0),
+            }
+            return eval_step(state, batch)
+
+        self._cached_eval_step = cached_eval
+        return cached_eval
+
+    def _val_batches(self):
+        """Yield (eval_step output, host formulas (B, L), n_valid) — from the
+        HBM cache (device_cache) or the host loader."""
+        vc = self._get_val_device_cache() if self._use_device_cache() else False
+        if vc:
+            B = vc["batch"]
+            total = vc["images"].shape[0] // B
+            step = self._get_cached_eval_step()
+            for i in range(total):
+                out = step(self.state, vc["images"], vc["formulas"], jnp.int32(i))
+                n_valid = max(0, min(B, vc["n"] - i * B))
+                yield out, vc["formulas_host"][i * B : (i + 1) * B], n_valid
+            return
+        loader = self.loaders["validate"]
+        for batch in loader:
+            n_valid = int(batch.get("n_valid", batch["images"].shape[0]))
+            device_batch = {
+                "images": jnp.asarray(batch["images"]),
+                "formulas": jnp.asarray(batch["formulas"]),
+            }
+            yield self.eval_step(self.state, device_batch), batch["formulas"], n_valid
+
     def _epoch_steps(self, epoch: int, epoch_rng):
         """Yield zero-arg step thunks for one epoch — either gathered on
         device from the HBM cache or uploaded per batch by the host loader."""
@@ -318,13 +396,7 @@ class Trainer:
         n_batches = 0
         bleu_outs = []  # device outputs for the first bleu_batches (pulled once)
         ecfg = self.cfg.evaluation
-        for i, batch in enumerate(loader):
-            n_valid = int(batch.get("n_valid", batch["images"].shape[0]))
-            device_batch = {
-                "images": jnp.asarray(batch["images"]),
-                "formulas": jnp.asarray(batch["formulas"]),
-            }
-            out = self.eval_step(self.state, device_batch)
+        for i, (out, formulas_host, n_valid) in enumerate(self._val_batches()):
             acc = {
                 "loss_tokens": out["loss"] * out["total"].astype(jnp.float32),
                 "correct": out["correct"],
@@ -333,7 +405,7 @@ class Trainer:
             totals = acc if totals is None else jax.tree_util.tree_map(jnp.add, totals, acc)
             n_batches += 1
             if i < ecfg.bleu_batches:
-                bleu_outs.append((out["pred_ids"], out["probs_max"], batch["formulas"], n_valid))
+                bleu_outs.append((out["pred_ids"], out["probs_max"], formulas_host, n_valid))
         snap = jax.device_get(totals) if totals is not None else {"loss_tokens": 0.0, "correct": 0, "total": 0}
         total_tokens = int(snap["total"])
         bleu_preds, bleu_tgts = [], []

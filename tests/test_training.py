@@ -299,3 +299,11 @@ class TestDeviceCache:
         assert final[0] == final[1]  # same seed -> identical trajectory
         # and it actually learned vs epoch 1
         assert tr.history[max(tr.history)]["train_loss"] < tr.history[min(tr.history)]["train_loss"] + 1e-6
+
+    def test_cached_validation_matches_host_loader(self, corpus, tmp_path):
+        tr = self._make_trainer(corpus, tmp_path / "val", True)
+        a = tr.validate(0)
+        tr.cfg.data.device_cache = False  # same state, host-loader path
+        b = tr.validate(0)
+        for k in ("val_loss", "val_accuracy", "val_bleu", "val_levenshtein"):
+            assert a[k] == pytest.approx(b[k], abs=1e-6), k
