@@ -115,7 +115,8 @@ def main() -> None:
                 "metric": f"{name}_greedy_decode_images_per_sec",
                 "value": round(img_per_sec, 1),
                 "unit": "img/s",
-                "vs_baseline": round(img_per_sec / jax.device_count() / PER_CHIP_BASELINE, 3),
+                # single-device bench: img_per_sec IS the per-chip rate
+                "vs_baseline": round(img_per_sec / PER_CHIP_BASELINE, 3),
             }
         )
     )

@@ -187,7 +187,6 @@ def topk_iterative(flat: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]
     but avoids its sort lowering, which dominates beam-step time on TPU for
     small k over a K*V axis."""
     NEG = jnp.asarray(-jnp.inf, flat.dtype)
-    n = flat.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, flat.shape, flat.ndim - 1)
     vals, idxs = [], []
     cur = flat
@@ -223,10 +222,16 @@ def beam_decode(
         onehot = (
             beam_idx[..., None] == jnp.arange(K, dtype=beam_idx.dtype)
         )  # (B, K_new, K_old) bool
+        flat_idx = (
+            beam_idx + (jnp.arange(batch_size, dtype=beam_idx.dtype) * K)[:, None]
+        ).reshape(-1)
 
         def gather_leaf(leaf):
+            fp = jnp.issubdtype(leaf.dtype, jnp.floating)
             if leaf.ndim >= 2 and leaf.shape[-2] == batch_size * K:
                 # e.g. LSTM carry (L, B*K, H)
+                if not fp:  # preserve bool/int carry leaves exactly
+                    return jnp.take(leaf, flat_idx, axis=-2)
                 lead = leaf.shape[:-2]
                 x = leaf.reshape(lead + (batch_size, K, leaf.shape[-1]))
                 sel = jnp.einsum(
@@ -234,6 +239,8 @@ def beam_decode(
                 )
                 return sel.reshape(leaf.shape)
             if leaf.shape[0] == batch_size * K:
+                if not fp:
+                    return jnp.take(leaf, flat_idx, axis=0)
                 x = leaf.reshape((batch_size, K) + leaf.shape[1:])
                 oh = onehot.astype(leaf.dtype)
                 oh = oh.reshape(oh.shape + (1,) * (x.ndim - 2))

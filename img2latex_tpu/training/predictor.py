@@ -62,7 +62,11 @@ class Predictor:
     # ------------------------------------------------------------------
     @classmethod
     def from_checkpoint(
-        cls, path: str, step: Optional[int] = None, batch_size: int = 16
+        cls,
+        path: str,
+        step: Optional[int] = None,
+        batch_size: int = 16,
+        use_pallas_conv1: Optional[bool] = None,
     ) -> "Predictor":
         """Rebuild config, tokenizer, model and weights from one checkpoint
         directory (the contract of reference ``predictor.py:61-137``)."""
@@ -76,9 +80,12 @@ class Predictor:
         # Inference-side fast path: the phase-split conv1 kernel is bit-exact
         # vs the XLA block and 1.06x faster on chip (scripts/bench_conv1.py);
         # training leaves it off (its custom VJP recomputes the forward), so
-        # flip it on here where only the forward runs.  TPU-gated inside the
-        # encoder — harmless elsewhere.
-        cfg.hardware.pallas_conv1 = True
+        # default it on here where only the forward runs.  TPU-gated inside
+        # the encoder — harmless elsewhere.  Pass use_pallas_conv1=False to
+        # force the pure-XLA encoder (e.g. kernel-vs-XLA parity debugging).
+        cfg.hardware.pallas_conv1 = (
+            use_pallas_conv1 if use_pallas_conv1 is not None else True
+        )
         tokenizer = LaTeXTokenizer.from_config(meta["tokenizer_config"])
         model = build_model(cfg, tokenizer.vocab_size)
         params = state["params"]

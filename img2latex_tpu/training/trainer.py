@@ -16,6 +16,7 @@ are static, memory is a compile-time property.
 
 from __future__ import annotations
 
+from functools import partial
 import time
 from typing import Any, Dict, Iterable, Optional
 
@@ -183,9 +184,16 @@ class Trainer:
     # ------------------------------------------------------------------
     # ------------------------------------------------------------------
     def _use_device_cache(self) -> bool:
-        return bool(
-            getattr(self.cfg.data, "device_cache", False) and not self.cfg.data.augment
-        )
+        want = bool(getattr(self.cfg.data, "device_cache", False))
+        if want and self.cfg.data.augment:
+            if not getattr(self, "_warned_cache_augment", False):
+                logger.warning(
+                    "data.device_cache=true is ignored with data.augment=true "
+                    "(augmentation is host-side PIL); using the host loader"
+                )
+                self._warned_cache_augment = True
+            return False
+        return want
 
     def _get_device_cache(self):
         """HBM-resident train split: images (N,H,W,C) uint8 + token ids
@@ -196,14 +204,14 @@ class Trainer:
         ds = self.loaders["train"].dataset
         n = len(ds)
         h, w, c = self.cfg.image_shape
-        est = n * h * w * c
+        est = n * (h * w * c + self.tokenizer.max_sequence_length * 4)
         budget = 4 * 1024**3  # leave HBM headroom for model + activations
         if est > budget:
             logger.warning(
-                "device_cache would use %.1f GB of HBM (> %.1f GB budget); "
+                "device_cache would use %.2f GiB of HBM (> %.2f GiB budget); "
                 "falling back to the host loader",
-                est / 1e9,
-                budget / 1e9,
+                est / 1024**3,
+                budget / 1024**3,
             )
             self._device_cache = False
             return False
@@ -217,7 +225,7 @@ class Trainer:
             "formulas": jnp.asarray(forms),
             "n": n,
         }
-        logger.info("device_cache: %d samples (%.2f GB) resident in HBM", n, est / 1e9)
+        logger.info("device_cache: %d samples (%.2f GiB) resident in HBM", n, est / 1024**3)
         return self._device_cache
 
     def _get_cached_step(self):
@@ -226,7 +234,9 @@ class Trainer:
         B = self.cfg.data.batch_size
         train_step = self.train_step
 
-        @jax.jit
+        # donate the state like the plain path does (train_step's own
+        # donate_argnums is ignored when it is inlined under this jit).
+        @partial(jax.jit, donate_argnums=(0,))
         def cached_step(state, images_all, formulas_all, perm, i, rng):
             idx = jax.lax.dynamic_slice(perm, (i * B,), (B,))
             batch = {
@@ -316,17 +326,19 @@ class Trainer:
             }
             yield self.eval_step(self.state, device_batch), batch["formulas"], n_valid
 
-    def _epoch_steps(self, epoch: int, epoch_rng):
+    def _epoch_steps(self, epoch: int):
         """Yield zero-arg step thunks for one epoch — either gathered on
         device from the HBM cache or uploaded per batch by the host loader."""
         cache = self._get_device_cache() if self._use_device_cache() else False
         if cache:
             B = self.cfg.data.batch_size
             n_steps = cache["n"] // B  # matches the host loader's drop_last
-            perm = np.random.default_rng(
-                self.cfg.training.seed * 7919 + epoch
-            ).permutation(cache["n"]).astype(np.int32)
-            perm_dev = jnp.asarray(perm)
+            # Reuse the host loader's epoch ordering (seed + epoch) so
+            # toggling device_cache reproduces the same batch composition.
+            loader = self.loaders["train"]
+            if hasattr(loader, "set_epoch"):
+                loader.set_epoch(epoch)
+            perm_dev = jnp.asarray(loader._order().astype(np.int32))
             step = self._get_cached_step()
             for i in range(n_steps):
                 yield lambda st, rng, i=i: step(
@@ -355,7 +367,7 @@ class Trainer:
         host_step = getattr(self, "_host_step", None)
         if host_step is None:
             host_step = int(self.state.step)
-        for i, invoke in enumerate(self._epoch_steps(epoch, epoch_rng)):
+        for i, invoke in enumerate(self._epoch_steps(epoch)):
             self.state, metrics = invoke(self.state, epoch_rng)
             acc = {k: metrics[k] for k in ("loss", "correct", "total")}
             totals = acc if totals is None else jax.tree_util.tree_map(jnp.add, totals, acc)

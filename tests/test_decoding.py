@@ -348,3 +348,34 @@ class TestTopkIterative:
         v, i = topk_iterative(x, 3)
         v_ref, i_ref = jax.lax.top_k(x, 3)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+class TestBeamCarryDtypes:
+    def test_bool_and_int_carry_leaves_survive_gather(self):
+        # A step_fn whose carry holds a bool flag and an int counter alongside
+        # the float state: gather_beams must preserve their dtypes exactly
+        # (regression: the one-hot matmul path only applies to float leaves).
+        emb, W = make_dynamics(12)
+        emb_j, W_j, bias = jnp.array(emb), jnp.array(W), jnp.array(_PAD_BIAS)
+        B, K, T = 2, 3, 6
+
+        def step(tokens, carry):
+            h, flag, count = carry
+            h = jnp.tanh(h + emb_j[tokens])
+            return h @ W_j + bias, (h, flag | (tokens == END), count + 1)
+
+        carry0 = (
+            jnp.zeros((B * K, H)),
+            jnp.zeros((B * K,), bool),
+            jnp.zeros((B * K,), jnp.int32),
+        )
+        cfg = DecodeConfig(max_length=T, start_id=START, end_id=END, pad_id=PAD)
+        tokens, scores = beam_decode(step, carry0, B, K, cfg)
+        assert tokens.shape == (B, T)
+        # same result as a float-only carry (the extra leaves are inert)
+        def step_f(tokens, carry):
+            h = jnp.tanh(carry + emb_j[tokens])
+            return h @ W_j + bias, h
+
+        tokens2, scores2 = beam_decode(step_f, jnp.zeros((B * K, H)), B, K, cfg)
+        np.testing.assert_array_equal(np.asarray(tokens), np.asarray(tokens2))

@@ -272,15 +272,17 @@ class TestDeviceCache:
         perm = jnp.asarray(np.arange(cache["n"], dtype=np.int32))
         rng = jax.random.PRNGKey(5)
         step = tr._get_cached_step()
+        # both steps donate their state input -> give each an independent copy
+        copy = lambda st: jax.tree_util.tree_map(jnp.copy, st)
         state_a, metrics_a = step(
-            tr.state, cache["images"], cache["formulas"], perm, jnp.int32(1), rng
+            copy(tr.state), cache["images"], cache["formulas"], perm, jnp.int32(1), rng
         )
         # identical to the plain train step on the explicitly sliced batch
         batch = {
             "images": cache["images"][B : 2 * B],
             "formulas": cache["formulas"][B : 2 * B],
         }
-        state_b, metrics_b = tr.train_step(tr.state, batch, rng)
+        state_b, metrics_b = tr.train_step(copy(tr.state), batch, rng)
         np.testing.assert_array_equal(
             np.asarray(metrics_a["loss"]), np.asarray(metrics_b["loss"])
         )
@@ -297,8 +299,8 @@ class TestDeviceCache:
             final.append(tr.history[max(tr.history)]["train_loss"])
             assert np.isfinite(final[-1])
         assert final[0] == final[1]  # same seed -> identical trajectory
-        # and it actually learned vs epoch 1
-        assert tr.history[max(tr.history)]["train_loss"] < tr.history[min(tr.history)]["train_loss"] + 1e-6
+        # and it actually learned vs epoch 1 (a real decrease, not just flat)
+        assert tr.history[max(tr.history)]["train_loss"] < tr.history[min(tr.history)]["train_loss"] - 0.01
 
     def test_cached_validation_matches_host_loader(self, corpus, tmp_path):
         tr = self._make_trainer(corpus, tmp_path / "val", True)
