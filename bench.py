@@ -51,7 +51,9 @@ def main() -> None:
     use_pallas = jax.default_backend() in ("tpu", "axon")
 
     n_dev = jax.device_count()
-    batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 3072
+    # 4096 fits since the Pallas conv1 kernel stopped materializing the
+    # full-res pre-pool map (3072 was the XLA-conv ceiling).
+    batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     B = batch_per_chip * n_dev
 
     cfg = Config()
