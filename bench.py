@@ -51,9 +51,10 @@ def main() -> None:
     use_pallas = jax.default_backend() in ("tpu", "axon")
 
     n_dev = jax.device_count()
-    # 4096 fits since the Pallas conv1 kernel stopped materializing the
-    # full-res pre-pool map (3072 was the XLA-conv ceiling).
-    batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    # Batch sweep on one v5e chip (the Pallas conv1 kernel freed the HBM
+    # that capped the XLA path at 3072): 3072 -> 28.2k, 4096 -> 28.9k,
+    # 5120 -> 29.6k, 6144 -> 30.4k img/s; 8192 exceeds HBM.
+    batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 6144
     B = batch_per_chip * n_dev
 
     cfg = Config()
