@@ -59,6 +59,10 @@ class DataConfig:
     # its host-RAM transfer leak; see STATUS.md).  Requires augment=false
     # (augmentation is host-side PIL) and the split to fit the HBM budget.
     device_cache: bool = False
+    # HBM budget for device_cache, GiB.  None derives it from the device's
+    # live memory stats (free HBM minus headroom for params/activations),
+    # falling back to 4 GiB train / 2 GiB val when the backend reports none.
+    device_cache_budget_gb: Optional[float] = None
 
 
 @dataclass

@@ -185,7 +185,15 @@ def topk_iterative(flat: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]
     """k iterative (argmax, mask) passes — output-identical to
     ``jax.lax.top_k`` (argmax and top_k both prefer the lower index on ties)
     but avoids its sort lowering, which dominates beam-step time on TPU for
-    small k over a K*V axis."""
+    small k over a K*V axis.
+
+    Precondition: ``flat`` must contain no ``-inf`` in its top-k window —
+    selected entries are masked with ``-inf``, so a genuine ``-inf`` input
+    inside the window ties with masked entries and a later pass can return a
+    duplicate index (``lax.top_k`` always returns distinct indices).  The
+    beam path satisfies this by construction: its inputs are
+    ``log_softmax`` of finite logits, and dead beams are padded with the
+    finite sentinel ``-1e30`` (``beam_decode``'s NEG)."""
     NEG = jnp.asarray(-jnp.inf, flat.dtype)
     iota = jax.lax.broadcasted_iota(jnp.int32, flat.shape, flat.ndim - 1)
     vals, idxs = [], []

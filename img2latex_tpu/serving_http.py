@@ -76,6 +76,7 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
+        self._response_started = True
         self.wfile.write(body)
 
     def _read_body(self) -> bytes:
@@ -102,6 +103,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:  # noqa: N802
         parsed = urlparse(self.path)
+        self._response_started = False
         try:
             opts = _decode_options(parsed.query)  # bad numerics -> JSON 400
             body = self._read_body()
@@ -129,13 +131,21 @@ class _Handler(BaseHTTPRequestHandler):
             import concurrent.futures
 
             logger.exception("request failed")
+            if self._response_started:
+                # The failure happened during/after the response write (e.g.
+                # BrokenPipeError from a disconnected client) — the socket is
+                # dead, a second response would be wrong; just log.
+                return
             if isinstance(exc, concurrent.futures.TimeoutError):
                 status = 504  # batch worker overloaded — a server fault
             elif isinstance(exc, (ValueError, KeyError, json.JSONDecodeError, OSError)):
                 status = 400  # malformed body/params/image
             else:
                 status = 500
-            self._send_json({"error": f"{type(exc).__name__}: {exc}"}, status=status)
+            try:
+                self._send_json({"error": f"{type(exc).__name__}: {exc}"}, status=status)
+            except OSError:  # client gone mid-error-response
+                logger.debug("error response write failed (client disconnected)")
 
 
 def make_http_server(

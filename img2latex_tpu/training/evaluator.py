@@ -75,6 +75,7 @@ def evaluate_checkpoint(
     n_images = 0
     decode_s = 0.0
     first_batch_s = 0.0  # includes XLA compile; excluded from throughput
+    first_batch_images = 0
     run = None
     rng = jax.random.PRNGKey(0)
     sample_offset = 0
@@ -94,6 +95,7 @@ def evaluate_checkpoint(
         )
         if bi == 0:
             first_batch_s = time.perf_counter() - t0
+            first_batch_images = n_valid
         else:
             decode_s += time.perf_counter() - t0
         tgt_ids = trim_host(
@@ -127,12 +129,16 @@ def evaluate_checkpoint(
         "token_accuracy": correct / total if total else 0.0,
         "decode_seconds": decode_s + first_batch_s,
         "compile_and_first_batch_seconds": first_batch_s,
-        # steady-state throughput (first batch carries the XLA compile)
+        # Steady-state throughput: exclude the first batch (it carries the
+        # XLA compile) and exactly its images.  With a single batch there is
+        # no compile-free measurement — report the compile-inclusive number
+        # and say so (it feeds RESULTS.json artifacts).
         "images_per_second": (
-            (n_images - (min(n_images, loader.batch_size))) / decode_s
+            (n_images - first_batch_images) / decode_s
             if decode_s > 0
             else n_images / max(first_batch_s, 1e-9)
         ),
+        "images_per_second_includes_compile": decode_s <= 0,
         "decode": {
             "beam_size": dcfg.beam_size,
             "temperature": dcfg.temperature,

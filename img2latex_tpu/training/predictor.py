@@ -83,9 +83,16 @@ class Predictor:
         # default it on here where only the forward runs.  TPU-gated inside
         # the encoder — harmless elsewhere.  Pass use_pallas_conv1=False to
         # force the pure-XLA encoder (e.g. kernel-vs-XLA parity debugging).
+        saved_conv1 = bool(cfg.hardware.pallas_conv1)
         cfg.hardware.pallas_conv1 = (
             use_pallas_conv1 if use_pallas_conv1 is not None else True
         )
+        if use_pallas_conv1 is None and not saved_conv1:
+            logger.info(
+                "hardware.pallas_conv1: checkpoint saved False (the training "
+                "default); enabling for inference — pass use_pallas_conv1="
+                "False to keep the pure-XLA encoder"
+            )
         tokenizer = LaTeXTokenizer.from_config(meta["tokenizer_config"])
         model = build_model(cfg, tokenizer.vocab_size)
         params = state["params"]

@@ -195,6 +195,20 @@ class Trainer:
             return False
         return want
 
+    def _cache_budget(self, fallback_gib: float, share: float) -> int:
+        """HBM budget for a device cache: the explicit config knob if set,
+        else ``share`` of the device's free HBM (live memory_stats), else the
+        fixed fallback (backends that report no stats, e.g. CPU)."""
+        knob = getattr(self.cfg.data, "device_cache_budget_gb", None)
+        if knob:
+            return int(knob * 1024**3)
+        from img2latex_tpu.utils.device import free_device_memory_bytes
+
+        free = free_device_memory_bytes()
+        if free:
+            return int(free * share)
+        return int(fallback_gib * 1024**3)
+
     def _get_device_cache(self):
         """HBM-resident train split: images (N,H,W,C) uint8 + token ids
         (N,L) int32, uploaded ONCE.  Batches are gathered on device by a
@@ -205,7 +219,7 @@ class Trainer:
         n = len(ds)
         h, w, c = self.cfg.image_shape
         est = n * (h * w * c + self.tokenizer.max_sequence_length * 4)
-        budget = 4 * 1024**3  # leave HBM headroom for model + activations
+        budget = self._cache_budget(fallback_gib=4.0, share=0.6)
         if est > budget:
             logger.warning(
                 "device_cache would use %.2f GiB of HBM (> %.2f GiB budget); "
@@ -264,7 +278,8 @@ class Trainer:
         B = loader.batch_size
         h, w, c = self.cfg.image_shape
         n_pad = ((n + B - 1) // B) * B
-        if n_pad * h * w * c > 2 * 1024**3:
+        est = n_pad * (h * w * c + self.tokenizer.max_sequence_length * 4)
+        if est > self._cache_budget(fallback_gib=2.0, share=0.3):
             logger.warning("val device_cache over HBM budget; using the host loader")
             self._val_device_cache = False
             return False

@@ -73,6 +73,23 @@ def live_device_memory_mb() -> float:
     return total / 1e6
 
 
+def free_device_memory_bytes(fallback: Optional[int] = None) -> Optional[int]:
+    """Free HBM on device 0 from the runtime's ``memory_stats()`` (bytes),
+    or ``fallback`` when the backend does not report stats (e.g. the CPU
+    platform, where ``memory_stats`` is absent or empty)."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:  # pragma: no cover - backend-dependent
+        stats = {}
+    limit = stats.get("bytes_limit")
+    in_use = stats.get("bytes_in_use", 0)
+    if limit:
+        return max(int(limit) - int(in_use), 0)
+    return fallback
+
+
 def batch_size_finder(
     step_builder: Callable[[int], Callable[[], Any]],
     start: int = 32,
