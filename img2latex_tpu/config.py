@@ -225,6 +225,10 @@ class HardwareConfig:
 
     mesh_axes: Tuple[str, ...] = ("data", "model")
     mesh_shape: Tuple[int, ...] = (-1, 1)
+    # Mesh activation for the product train/eval/predict paths: None = auto
+    # (use the mesh whenever >1 device is visible), False = force the plain
+    # single-device jit, True = require a mesh (raise if impossible).
+    use_mesh: Optional[bool] = None
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     donate_buffers: bool = True

@@ -54,6 +54,53 @@ def mesh_from_config(cfg: Config, devices: Optional[Sequence[jax.Device]] = None
     return create_mesh(cfg.hardware.mesh_shape, cfg.hardware.mesh_axes, devices)
 
 
+def product_mesh(cfg: Config, *batch_sizes: int) -> Optional[Mesh]:
+    """The mesh the product paths (Trainer/Predictor/Evaluator) should use,
+    or ``None`` for the plain single-device jit.
+
+    Activation follows ``hardware.use_mesh``: ``None`` auto-enables whenever
+    more than one device is visible, ``False`` forces single-device, ``True``
+    requires a mesh.  Every ``batch_sizes`` entry must divide over the data
+    axis; when the configured shape cannot (e.g. tiny test batches on the
+    8-device CPU mesh), the data axis shrinks to the largest compatible
+    divisor (gcd of the batch sizes and the available device count) over a
+    device subset, so the product path degrades gracefully instead of
+    erroring.
+    """
+    import math
+
+    want = cfg.hardware.use_mesh
+    n = jax.device_count()
+    if want is False or (want is None and n <= 1):
+        return None
+    if n <= 1:
+        if want:
+            raise ValueError("hardware.use_mesh=True but only one device is visible")
+        return None
+    axes = tuple(cfg.hardware.mesh_axes)
+    shape = list(cfg.hardware.mesh_shape)
+    model = 1
+    if "model" in axes:
+        m = shape[axes.index("model")]
+        model = m if m not in (-1, 0) else 1
+    if n % model:
+        raise ValueError(f"{n} devices not divisible by model axis {model}")
+    data = n // model
+    if "data" in axes:
+        d = shape[axes.index("data")]
+        if d not in (-1, 0):
+            data = min(data, d)
+    for b in batch_sizes:
+        data = math.gcd(data, int(b))
+    if data <= 1 and model <= 1:
+        return None
+    devs = jax.devices()[: data * model]
+    dev_array = np.asarray(devs).reshape(
+        [data if a == "data" else model if a == "model" else 1 for a in axes]
+    )
+    return Mesh(dev_array, axes)
+
+
 # ---------------------------------------------------------------------------
 # Sharding rules
 # ---------------------------------------------------------------------------

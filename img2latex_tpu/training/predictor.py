@@ -150,7 +150,12 @@ class Predictor:
     # ------------------------------------------------------------------
     def _decode_fn(self, batch: int, dcfg: DecodeConfig, seed: int = 0):
         """Build (and cache) the compiled end-to-end decode: uint8 images ->
-        token ids.  One executable per (batch, decode-config)."""
+        token ids.  One executable per (batch, decode-config).
+
+        With >1 visible device (and ``hardware.use_mesh`` not False) the
+        decode is SPMD over the product mesh: images shard P('data'), params
+        replicate, and each chip decodes its own batch rows — the pattern
+        the v5e-8 north star (BASELINE.md) is served by."""
         key = (batch, dcfg, seed)
         if key in self._jit_cache:
             return self._jit_cache[key]
@@ -161,6 +166,9 @@ class Predictor:
         layers = self.cfg.model.decoder.lstm_layers
         hidden = self.cfg.model.decoder.hidden_dim
         dtype = jnp.dtype(self.cfg.hardware.compute_dtype)
+        from img2latex_tpu.parallel.mesh import product_mesh
+
+        mesh = product_mesh(self.cfg, batch)
 
         # Fused-Pallas greedy fast path (hardware.use_pallas_decode): vector
         # memory + pure argmax only; other strategies use the scan path.
@@ -181,15 +189,14 @@ class Predictor:
 
             packed = pack_decoder_weights(self._variables(), self.tokenizer.vocab_size, dtype)
 
-            @jax.jit
-            def run_pallas(images_u8: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+            def pallas_decode(pk, vs, images_u8, rng):
                 x = normalize_images(images_u8, mean, std)
-                memory = model.apply(variables, x, method=Seq2SeqModel.encode)
+                memory = model.apply(vs, x, method=Seq2SeqModel.encode)
                 # Whole-decode-in-one-kernel: weights stay VMEM-resident
                 # across all steps (1.8x the scanned step kernel at B=256,
                 # measured on a v5e chip; batches >256 are tiled inside).
                 return pallas_full_greedy_decode(
-                    packed,
+                    pk,
                     memory[:, 0, :],
                     dcfg.max_length,
                     dcfg.start_id,
@@ -197,11 +204,27 @@ class Predictor:
                     dcfg.pad_id,
                 )
 
+            if mesh is None:
+                run_pallas = jax.jit(partial(pallas_decode, packed, variables))
+            else:
+                # Pallas kernels are per-device programs — under a mesh each
+                # chip runs the whole kernel on its local batch shard
+                # (shard_map; no collectives in decode).
+                from jax.sharding import PartitionSpec as P
+
+                local = jax.shard_map(
+                    pallas_decode,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P("data"), P()),
+                    out_specs=P("data"),
+                    check_vma=False,
+                )
+                run_pallas = jax.jit(lambda images_u8, rng: local(packed, variables, images_u8, rng))
+
             self._jit_cache[key] = run_pallas
             return run_pallas
 
-        @partial(jax.jit, static_argnames=())
-        def run(images_u8: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        def run_impl(images_u8: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
             x = normalize_images(images_u8, mean, std)
             memory = model.apply(variables, x, method=Seq2SeqModel.encode)
 
@@ -231,6 +254,14 @@ class Predictor:
                 jnp.zeros((layers, batch, hidden), dtype),
             )
             return greedy_sample_decode(step_fn, carry0, batch, dcfg, rng=rng)
+
+        if mesh is None:
+            run = jax.jit(run_impl)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_sh = NamedSharding(mesh, P("data"))
+            run = jax.jit(run_impl, in_shardings=(data_sh, None), out_shardings=data_sh)
 
         self._jit_cache[key] = run
         return run

@@ -26,6 +26,7 @@ import numpy as np
 
 from img2latex_tpu.config import Config
 from img2latex_tpu.data.tokenizer import LaTeXTokenizer
+from img2latex_tpu.parallel.mesh import product_mesh, put_batch, put_state, state_shardings
 from img2latex_tpu.models.seq2seq import Seq2SeqModel, build_model
 from img2latex_tpu.ops.metrics import calculate_metrics, compute_all_metrics
 from img2latex_tpu.training.optim import (
@@ -78,11 +79,8 @@ class Trainer:
         self.experiment_name = experiment_name or cfg.training.experiment_name
 
         self.tx = build_optimizer(cfg)
-        self.train_step = jax.jit(
-            make_train_step(self.model, self.tx, cfg, tokenizer.pad_token_id),
-            donate_argnums=(0,),
-        )
-        self.eval_step = jax.jit(make_eval_step(self.model, cfg, tokenizer.pad_token_id))
+        self._train_step_fn = make_train_step(self.model, self.tx, cfg, tokenizer.pad_token_id)
+        self._eval_step_fn = make_eval_step(self.model, cfg, tokenizer.pad_token_id)
 
         rng = jax.random.PRNGKey(cfg.training.seed)
         self.rng, init_rng = jax.random.split(rng)
@@ -104,6 +102,25 @@ class Trainer:
             )
             logger.info("Loaded pretrained backbone from %s", pretrained)
 
+        # --- device mesh: the product path scales past one chip (pjit/SPMD
+        # over ICI).  Auto-enabled whenever >1 device is visible; batches
+        # shard P('data'), params replicate (or TP-shard the vocab matrices
+        # when hardware.mesh_shape has a model axis >1).  The same step
+        # functions compile either way — mesh presence only changes the
+        # in/out shardings handed to jax.jit.
+        train_bs = self.loaders["train"].batch_size if "train" in self.loaders else cfg.data.batch_size
+        eval_loader = self.loaders.get("validate")
+        eval_bs = eval_loader.batch_size if eval_loader is not None else train_bs
+        self.mesh = product_mesh(cfg, train_bs, eval_bs)
+        if self.mesh is not None:
+            self.state = put_state(self.state, self.mesh)
+            logger.info(
+                "mesh active: %s over %d devices",
+                dict(self.mesh.shape),
+                self.mesh.size,
+            )
+        self._compile_steps()
+
         self.scheduler = PlateauScheduler(
             cfg.training.learning_rate,
             factor=cfg.training.lr_plateau_factor,
@@ -122,6 +139,41 @@ class Trainer:
                 description=f"{cfg.model.name} on {cfg.data.data_dir}",
                 auto_version=False,
             )
+
+    # ------------------------------------------------------------------
+    def _compile_steps(self) -> None:
+        """jit the train/eval steps — plain single-device, or SPMD over the
+        mesh with explicit in/out shardings (state: TP rules via
+        ``state_shardings``; batch: P('data'))."""
+        if self.mesh is None:
+            self.train_step = jax.jit(self._train_step_fn, donate_argnums=(0,))
+            self.eval_step = jax.jit(self._eval_step_fn)
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        st_sh = state_shardings(self.mesh, self.state)
+        data_sh = NamedSharding(self.mesh, P("data"))
+        self.train_step = jax.jit(
+            self._train_step_fn,
+            in_shardings=(st_sh, data_sh, None),
+            out_shardings=(st_sh, None),
+            donate_argnums=(0,),
+        )
+        self.eval_step = jax.jit(
+            self._eval_step_fn,
+            in_shardings=(st_sh, data_sh),
+        )
+
+    def _place_batch(self, batch: Dict[str, Any]):
+        """Host batch -> device: sharded P('data') over the mesh, or a plain
+        transfer on the single-device path."""
+        device_batch = {
+            "images": batch["images"],
+            "formulas": batch["formulas"],
+        }
+        if self.mesh is not None:
+            return put_batch(device_batch, self.mesh)
+        return {k: jnp.asarray(v) for k, v in device_batch.items()}
 
     # ------------------------------------------------------------------
     @property
@@ -175,6 +227,8 @@ class Trainer:
             opt_state=state_tree["opt_state"],
             batch_stats=state_tree["batch_stats"],
         )
+        if self.mesh is not None:
+            self.state = put_state(self.state, self.mesh)
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         self.best_val_loss = float(meta.get("best_val_loss", float("inf")))
         logger.info(
@@ -212,14 +266,22 @@ class Trainer:
     def _get_device_cache(self):
         """HBM-resident train split: images (N,H,W,C) uint8 + token ids
         (N,L) int32, uploaded ONCE.  Batches are gathered on device by a
-        per-epoch permutation — no per-step host->device traffic."""
+        per-epoch permutation — no per-step host->device traffic.
+
+        Under a mesh the cache shards P('data') over the sample axis (each
+        device holds N/dp samples) and the per-epoch permutation is
+        *per-shard*: every global batch takes B/dp samples from each shard's
+        local permutation, so the gather stays device-local (shard_map, no
+        collectives).  Batch composition is a different — statistically
+        equivalent — shuffle than the host loader's global permutation."""
         if self._device_cache is not None:
             return self._device_cache
         ds = self.loaders["train"].dataset
         n = len(ds)
         h, w, c = self.cfg.image_shape
+        dp = self.mesh.shape["data"] if self.mesh is not None else 1
         est = n * (h * w * c + self.tokenizer.max_sequence_length * 4)
-        budget = self._cache_budget(fallback_gib=4.0, share=0.6)
+        budget = self._cache_budget(fallback_gib=4.0, share=0.6) * dp
         if est > budget:
             logger.warning(
                 "device_cache would use %.2f GiB of HBM (> %.2f GiB budget); "
@@ -229,38 +291,100 @@ class Trainer:
             )
             self._device_cache = False
             return False
-        imgs = np.zeros((n, h, w, c), np.uint8)
-        forms = np.zeros((n, self.tokenizer.max_sequence_length), np.int32)
-        for i in range(n):
-            imgs[i] = ds.image(i)
-            forms[i] = ds.token_ids(i)
+        # Pad the sample axis to a multiple of dp (wrap-around duplicates)
+        # so every shard holds the same count; n_pad == n when dp == 1.
+        n_pad = ((n + dp - 1) // dp) * dp
+        imgs = np.zeros((n_pad, h, w, c), np.uint8)
+        forms = np.zeros((n_pad, self.tokenizer.max_sequence_length), np.int32)
+        for i in range(n_pad):
+            imgs[i] = ds.image(i % n)
+            forms[i] = ds.token_ids(i % n)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P("data"))
+            images_dev = jax.device_put(imgs, sh)
+            formulas_dev = jax.device_put(forms, sh)
+        else:
+            images_dev = jnp.asarray(imgs)
+            formulas_dev = jnp.asarray(forms)
         self._device_cache = {
-            "images": jnp.asarray(imgs),
-            "formulas": jnp.asarray(forms),
+            "images": images_dev,
+            "formulas": formulas_dev,
             "n": n,
+            "n_pad": n_pad,
+            "dp": dp,
         }
-        logger.info("device_cache: %d samples (%.2f GiB) resident in HBM", n, est / 1024**3)
+        logger.info(
+            "device_cache: %d samples (%.2f GiB) resident in HBM over %d device(s)",
+            n,
+            est / 1024**3,
+            dp,
+        )
         return self._device_cache
 
     def _get_cached_step(self):
         if self._cached_step is not None:
             return self._cached_step
         B = self.cfg.data.batch_size
-        train_step = self.train_step
+        step_fn = self._train_step_fn
 
-        # donate the state like the plain path does (train_step's own
-        # donate_argnums is ignored when it is inlined under this jit).
-        @partial(jax.jit, donate_argnums=(0,))
-        def cached_step(state, images_all, formulas_all, perm, i, rng):
-            idx = jax.lax.dynamic_slice(perm, (i * B,), (B,))
-            batch = {
-                "images": jnp.take(images_all, idx, axis=0),
-                "formulas": jnp.take(formulas_all, idx, axis=0),
-            }
-            return train_step(state, batch, rng)
+        if self.mesh is None:
+            # donate the state like the plain path does (train_step's own
+            # donate_argnums is ignored when it is inlined under this jit).
+            @partial(jax.jit, donate_argnums=(0,))
+            def cached_step(state, images_all, formulas_all, perm, i, rng):
+                idx = jax.lax.dynamic_slice(perm, (i * B,), (B,))
+                batch = {
+                    "images": jnp.take(images_all, idx, axis=0),
+                    "formulas": jnp.take(formulas_all, idx, axis=0),
+                }
+                return step_fn(state, batch, rng)
 
-        self._cached_step = cached_step
-        return cached_step
+            self._cached_step = cached_step
+            return cached_step
+
+        # Mesh path: the cache is sharded P('data') over samples and the
+        # permutation is per-shard local indices — each device gathers its
+        # own B/dp rows (shard_map keeps the gather collective-free), and the
+        # result is already the P('data')-sharded global batch.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from img2latex_tpu.parallel.mesh import state_shardings as _st_sh
+
+        mesh = self.mesh
+        dp = mesh.shape["data"]
+        Bl = B // dp
+        try:
+            from jax import shard_map  # jax >= 0.5
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+
+        def local_gather(im, fo, pe, i):
+            idx = jax.lax.dynamic_slice(pe, (i * Bl,), (Bl,))
+            return jnp.take(im, idx, axis=0), jnp.take(fo, idx, axis=0)
+
+        gather = shard_map(
+            local_gather,
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P()),
+            out_specs=(P("data"), P("data")),
+        )
+        st_sh = _st_sh(mesh, self.state)
+        data_sh = NamedSharding(mesh, P("data"))
+
+        @partial(
+            jax.jit,
+            in_shardings=(st_sh, data_sh, data_sh, data_sh, None, None),
+            out_shardings=(st_sh, None),
+            donate_argnums=(0,),
+        )
+        def cached_step_mesh(state, images_all, formulas_all, perm, i, rng):
+            imgs, fos = gather(images_all, formulas_all, perm, i)
+            return step_fn(state, {"images": imgs, "formulas": fos}, rng)
+
+        self._cached_step = cached_step_mesh
+        return cached_step_mesh
 
     def _get_val_device_cache(self):
         """HBM-resident validate split, padded to a whole number of eval
@@ -292,9 +416,21 @@ class Trainer:
         for i in range(n):
             imgs[i] = ds.image(i)
             forms[i] = ds.token_ids(i)
+        if self.mesh is not None:
+            # Replicated (val splits are small; the budget check above holds
+            # per device) — sequential batch slices then stay local and the
+            # eval compute still shards P('data') via the cached step's
+            # sharding constraint.
+            from img2latex_tpu.parallel.mesh import put_replicated
+
+            images_dev = put_replicated(jnp.asarray(imgs), self.mesh)
+            formulas_dev = put_replicated(jnp.asarray(forms), self.mesh)
+        else:
+            images_dev = jnp.asarray(imgs)
+            formulas_dev = jnp.asarray(forms)
         self._val_device_cache = {
-            "images": jnp.asarray(imgs),
-            "formulas": jnp.asarray(forms),
+            "images": images_dev,
+            "formulas": formulas_dev,
             "formulas_host": forms,
             "n": n,
             "batch": B,
@@ -304,20 +440,43 @@ class Trainer:
     def _get_cached_eval_step(self):
         if getattr(self, "_cached_eval_step", None) is not None:
             return self._cached_eval_step
-        eval_step = self.eval_step
+        eval_fn = self._eval_step_fn
         B = self.loaders["validate"].batch_size
+        mesh = self.mesh
 
-        @jax.jit
-        def cached_eval(state, images_all, formulas_all, i):
+        if mesh is None:
+
+            @jax.jit
+            def cached_eval(state, images_all, formulas_all, i):
+                start = i * B
+                batch = {
+                    "images": jax.lax.dynamic_slice_in_dim(images_all, start, B, 0),
+                    "formulas": jax.lax.dynamic_slice_in_dim(formulas_all, start, B, 0),
+                }
+                return eval_fn(state, batch)
+
+            self._cached_eval_step = cached_eval
+            return cached_eval
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        st_sh = state_shardings(mesh, self.state)
+        data_sh = NamedSharding(mesh, P("data"))
+
+        @partial(jax.jit, in_shardings=(st_sh, None, None, None))
+        def cached_eval_mesh(state, images_all, formulas_all, i):
             start = i * B
             batch = {
                 "images": jax.lax.dynamic_slice_in_dim(images_all, start, B, 0),
                 "formulas": jax.lax.dynamic_slice_in_dim(formulas_all, start, B, 0),
             }
-            return eval_step(state, batch)
+            # The cache is replicated; constrain the sliced batch (and with
+            # it the eval compute) to shard over the data axis.
+            batch = jax.lax.with_sharding_constraint(batch, data_sh)
+            return eval_fn(state, batch)
 
-        self._cached_eval_step = cached_eval
-        return cached_eval
+        self._cached_eval_step = cached_eval_mesh
+        return cached_eval_mesh
 
     def _val_batches(self):
         """Yield (eval_step output, host formulas (B, L), n_valid) — from the
@@ -335,11 +494,7 @@ class Trainer:
         loader = self.loaders["validate"]
         for batch in loader:
             n_valid = int(batch.get("n_valid", batch["images"].shape[0]))
-            device_batch = {
-                "images": jnp.asarray(batch["images"]),
-                "formulas": jnp.asarray(batch["formulas"]),
-            }
-            yield self.eval_step(self.state, device_batch), batch["formulas"], n_valid
+            yield self.eval_step(self.state, self._place_batch(batch)), batch["formulas"], n_valid
 
     def _epoch_steps(self, epoch: int):
         """Yield zero-arg step thunks for one epoch — either gathered on
@@ -348,12 +503,26 @@ class Trainer:
         if cache:
             B = self.cfg.data.batch_size
             n_steps = cache["n"] // B  # matches the host loader's drop_last
-            # Reuse the host loader's epoch ordering (seed + epoch) so
-            # toggling device_cache reproduces the same batch composition.
             loader = self.loaders["train"]
             if hasattr(loader, "set_epoch"):
                 loader.set_epoch(epoch)
-            perm_dev = jnp.asarray(loader._order().astype(np.int32))
+            if self.mesh is None:
+                # Reuse the host loader's epoch ordering (seed + epoch) so
+                # toggling device_cache reproduces the same batch composition.
+                perm_dev = jnp.asarray(loader._order().astype(np.int32))
+            else:
+                # Per-shard local permutations (same seed stream): shard d's
+                # slice permutes its own n_pad/dp rows, so the on-device
+                # gather never crosses shards.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                dp = cache["dp"]
+                n_local = cache["n_pad"] // dp
+                ep_rng = np.random.default_rng(getattr(loader, "seed", 0) + epoch)
+                perm = np.concatenate(
+                    [ep_rng.permutation(n_local).astype(np.int32) for _ in range(dp)]
+                )
+                perm_dev = jax.device_put(perm, NamedSharding(self.mesh, P("data")))
             step = self._get_cached_step()
             for i in range(n_steps):
                 yield lambda st, rng, i=i: step(
@@ -364,10 +533,7 @@ class Trainer:
         if hasattr(loader, "set_epoch"):
             loader.set_epoch(epoch)
         for batch in loader:
-            device_batch = {
-                "images": jnp.asarray(batch["images"]),
-                "formulas": jnp.asarray(batch["formulas"]),
-            }
+            device_batch = self._place_batch(batch)
             yield lambda st, rng, db=device_batch: self.train_step(st, db, rng)
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
@@ -542,6 +708,15 @@ class Trainer:
                 self.state = self.state.replace(
                     opt_state=set_learning_rate(self.state.opt_state, self.scheduler.lr)
                 )
+                if self.mesh is not None:
+                    # The replaced LR scalar lands on the default device —
+                    # restore the mesh placement (no-op for unchanged leaves).
+                    self.state = self.state.replace(
+                        opt_state=jax.device_put(
+                            self.state.opt_state,
+                            state_shardings(self.mesh, self.state).opt_state,
+                        )
+                    )
                 logger.info("Plateau: reduced learning rate to %.3e", self.scheduler.lr)
 
             if val_loss < self.best_val_loss:

@@ -253,10 +253,14 @@ class TestGridMemory:
 class TestDeviceCache:
     """data.device_cache: HBM-resident train split, on-device batch gather."""
 
-    def _make_trainer(self, corpus, tmp_path, device_cache):
+    def _make_trainer(self, corpus, tmp_path, device_cache, use_mesh=False):
         cfg = tiny_config(corpus)
         cfg.data.device_cache = device_cache
         cfg.training.epochs = 2
+        # The exactness tests below compare against explicit single-device
+        # slicing/ordering; the mesh cache uses per-shard permutations (its
+        # own tests live in test_parallel.py).
+        cfg.hardware.use_mesh = use_mesh
         tok = LaTeXTokenizer(max_sequence_length=cfg.data.max_seq_length)
         tok.fit(read_formulas(os.path.join(corpus, "im2latex_formulas.norm.lst")))
         loaders = create_data_loaders(cfg, tok)
