@@ -189,6 +189,8 @@ class BatchLoader:
         seed: int = 0,
         num_threads: int = 8,
         prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -198,6 +200,19 @@ class BatchLoader:
         self.num_threads = max(1, num_threads)
         self.prefetch = max(1, prefetch)
         self._epoch = 0
+        # Multi-host: every process computes the SAME global epoch order
+        # (same seed) and loads only its contiguous slice of each global
+        # batch — rows [p*B/P, (p+1)*B/P) — so the per-process local batches
+        # assemble into exactly the single-process global batch
+        # (``parallel.mesh.put_global_batch``).
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
+        if self.batch_size % self.process_count:
+            raise ValueError(
+                f"batch_size {self.batch_size} not divisible by "
+                f"process_count {self.process_count}"
+            )
+        self.local_batch_size = self.batch_size // self.process_count
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -215,8 +230,10 @@ class BatchLoader:
             rng.shuffle(idx)
         return idx
 
-    def _make_batch(self, pool: ThreadPoolExecutor, indices: np.ndarray) -> Dict[str, np.ndarray]:
-        B = self.batch_size
+    def _make_batch(
+        self, pool: ThreadPoolExecutor, indices: np.ndarray, global_valid: Optional[int] = None
+    ) -> Dict[str, np.ndarray]:
+        B = self.local_batch_size
         h, w = self.dataset.img_size
         c = self.dataset.channels
         L = self.dataset.tokenizer.max_sequence_length
@@ -229,7 +246,10 @@ class BatchLoader:
         return {
             "images": images,
             "formulas": formulas,
-            "n_valid": np.int32(len(indices)),
+            # n_valid is the GLOBAL count (the metric contract); n_valid_local
+            # counts this process's rows (== n_valid on single-process runs).
+            "n_valid": np.int32(global_valid if global_valid is not None else len(indices)),
+            "n_valid_local": np.int32(len(indices)),
         }
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -237,6 +257,12 @@ class BatchLoader:
         n = len(order)
         starts = range(0, n - self.batch_size + 1, self.batch_size) if self.drop_last else range(0, n, self.batch_size)
         chunks = [order[s : s + self.batch_size] for s in starts]
+        if self.process_count > 1:
+            lo = self.process_index * self.local_batch_size
+            hi = lo + self.local_batch_size
+            chunks = [(c[lo:hi], len(c)) for c in chunks]
+        else:
+            chunks = [(c, len(c)) for c in chunks]
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
@@ -244,8 +270,8 @@ class BatchLoader:
         def producer():
             with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
                 try:
-                    for chunk in chunks:
-                        out_q.put(self._make_batch(pool, chunk))
+                    for chunk, global_valid in chunks:
+                        out_q.put(self._make_batch(pool, chunk, global_valid))
                 finally:
                     out_q.put(sentinel)
 
@@ -281,6 +307,16 @@ def create_data_loaders(
         cfg.data.batch_size * cfg.data.eval_batch_size_multiplier,
         cfg.data.max_eval_batch_size,
     )
+    # Multi-host: shard every loader by process (jax is imported lazily so
+    # the host pipeline stays usable without a device runtime).
+    process_index, process_count = 0, 1
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            process_index, process_count = jax.process_index(), jax.process_count()
+    except Exception:  # pragma: no cover - no jax runtime
+        pass
     loaders: Dict[str, BatchLoader] = {}
     for split in splits:
         ds = Im2LatexDataset(
@@ -304,5 +340,7 @@ def create_data_loaders(
             seed=cfg.training.seed,
             num_threads=max(cfg.data.num_workers, 4),
             prefetch=cfg.data.device_prefetch,
+            process_index=process_index,
+            process_count=process_count,
         )
     return loaders

@@ -54,7 +54,7 @@ def mesh_from_config(cfg: Config, devices: Optional[Sequence[jax.Device]] = None
     return create_mesh(cfg.hardware.mesh_shape, cfg.hardware.mesh_axes, devices)
 
 
-def product_mesh(cfg: Config, *batch_sizes: int) -> Optional[Mesh]:
+def product_mesh(cfg: Config, *batch_sizes: int, local_only: bool = False) -> Optional[Mesh]:
     """The mesh the product paths (Trainer/Predictor/Evaluator) should use,
     or ``None`` for the plain single-device jit.
 
@@ -70,7 +70,8 @@ def product_mesh(cfg: Config, *batch_sizes: int) -> Optional[Mesh]:
     import math
 
     want = cfg.hardware.use_mesh
-    n = jax.device_count()
+    pool = jax.local_devices() if local_only else jax.devices()
+    n = len(pool)
     if want is False or (want is None and n <= 1):
         return None
     if n <= 1:
@@ -94,7 +95,13 @@ def product_mesh(cfg: Config, *batch_sizes: int) -> Optional[Mesh]:
         data = math.gcd(data, int(b))
     if data <= 1 and model <= 1:
         return None
-    devs = jax.devices()[: data * model]
+    if not local_only and jax.process_count() > 1 and data * model != n:
+        raise ValueError(
+            f"multi-host run: batch sizes {batch_sizes} force a {data}x{model} "
+            f"mesh that would not cover all {n} devices; choose batch sizes "
+            f"divisible by the global data-parallel degree"
+        )
+    devs = pool[: data * model]
     dev_array = np.asarray(devs).reshape(
         [data if a == "data" else model if a == "model" else 1 for a in axes]
     )
@@ -170,6 +177,34 @@ def put_state(state: Any, mesh: Mesh, shard_model_axis: bool = True) -> Any:
 def put_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     sharding = NamedSharding(mesh, batch_pspec())
     return jax.device_put(batch, sharding)
+
+
+def put_global_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Host batch -> P('data')-sharded global array.
+
+    Single-process: a plain sharded ``device_put``.  Multi-host: each process
+    passes only its LOCAL rows (``B_global / process_count`` of them — the
+    loader's per-process shard) and the result is the global array assembled
+    across processes (``jax.make_array_from_process_local_data``) — batch row
+    ``p*B_local + j`` lives on process ``p``, matching the loader's slicing.
+    """
+    sharding = NamedSharding(mesh, batch_pspec())
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)), batch
+    )
+
+
+def host_local_view(arr: Any) -> np.ndarray:
+    """The rows of a P('data')-sharded array addressable from this process,
+    concatenated in row order (the whole array on single-process runs)."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: (s.index[0].start or 0) if s.index else 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 def shard_train_step(train_step, mesh: Mesh, state: Any, batch: Dict[str, Any],

@@ -26,7 +26,14 @@ import numpy as np
 
 from img2latex_tpu.config import Config
 from img2latex_tpu.data.tokenizer import LaTeXTokenizer
-from img2latex_tpu.parallel.mesh import product_mesh, put_batch, put_state, state_shardings
+from img2latex_tpu.parallel.distributed import is_primary_host
+from img2latex_tpu.parallel.mesh import (
+    host_local_view,
+    product_mesh,
+    put_global_batch,
+    put_state,
+    state_shardings,
+)
 from img2latex_tpu.models.seq2seq import Seq2SeqModel, build_model
 from img2latex_tpu.ops.metrics import calculate_metrics, compute_all_metrics
 from img2latex_tpu.training.optim import (
@@ -133,7 +140,11 @@ class Trainer:
         self._device_cache = None  # lazy HBM-resident train split (data.device_cache)
         self._cached_step = None
 
-        if self.registry is not None and self.registry.get(self.experiment_name) is None:
+        if (
+            self.registry is not None
+            and is_primary_host()
+            and self.registry.get(self.experiment_name) is None
+        ):
             self.registry.register_experiment(
                 self.experiment_name,
                 description=f"{cfg.model.name} on {cfg.data.data_dir}",
@@ -172,7 +183,7 @@ class Trainer:
             "formulas": batch["formulas"],
         }
         if self.mesh is not None:
-            return put_batch(device_batch, self.mesh)
+            return put_global_batch(device_batch, self.mesh)
         return {k: jnp.asarray(v) for k, v in device_batch.items()}
 
     # ------------------------------------------------------------------
@@ -190,6 +201,10 @@ class Trainer:
     # ------------------------------------------------------------------
     def save_checkpoint(self, epoch: int, is_best: bool = False) -> None:
         if self.ckpt_dir is None:
+            return
+        if not is_primary_host():
+            # Multi-host: params/opt-state are replicated, every host holds
+            # the full state — only the primary writes (VERDICT r1 item 2).
             return
         state_tree = {
             "params": self.state.params,
@@ -239,6 +254,14 @@ class Trainer:
     # ------------------------------------------------------------------
     def _use_device_cache(self) -> bool:
         want = bool(getattr(self.cfg.data, "device_cache", False))
+        if want and jax.process_count() > 1:
+            if not getattr(self, "_warned_cache_multihost", False):
+                logger.warning(
+                    "data.device_cache=true is ignored on multi-host runs "
+                    "(per-process loaders stream instead)"
+                )
+                self._warned_cache_multihost = True
+            return False
         if want and self.cfg.data.augment:
             if not getattr(self, "_warned_cache_augment", False):
                 logger.warning(
@@ -493,7 +516,9 @@ class Trainer:
             return
         loader = self.loaders["validate"]
         for batch in loader:
-            n_valid = int(batch.get("n_valid", batch["images"].shape[0]))
+            # BLEU trimming happens on this host's local rows — use the
+            # local valid count (== global n_valid on single-process runs).
+            n_valid = int(batch.get("n_valid_local", batch.get("n_valid", batch["images"].shape[0])))
             yield self.eval_step(self.state, self._place_batch(batch)), batch["formulas"], n_valid
 
     def _epoch_steps(self, epoch: int):
@@ -604,7 +629,10 @@ class Trainer:
         bleu_preds, bleu_tgts = [], []
         sample_probs = sample_preds = sample_tgts = None
         for pred_dev, probs_dev, formulas, n_valid in bleu_outs:
-            pred_ids = np.asarray(pred_dev)[:n_valid]
+            # host_local_view: this process's addressable rows (the whole
+            # batch on single-process runs) — aligned with the loader's
+            # local formulas rows.
+            pred_ids = host_local_view(pred_dev)[:n_valid]
             targets = np.asarray(formulas[:, 1:])[:n_valid]
             p, t = _trim_batch_ids(
                 pred_ids, targets, self.tokenizer.pad_token_id, self.tokenizer.end_token_id
@@ -612,7 +640,7 @@ class Trainer:
             bleu_preds.extend(p)
             bleu_tgts.extend(t)
             if sample_probs is None:
-                sample_probs = np.asarray(probs_dev)[:n_valid]
+                sample_probs = host_local_view(probs_dev)[:n_valid]
                 sample_preds = pred_ids
                 sample_tgts = targets
         val_loss = float(snap["loss_tokens"]) / max(total_tokens, 1)
@@ -629,7 +657,12 @@ class Trainer:
         }
         # Enhanced metrics cadence (reference trainer.py:610-630).
         freq = max(self.cfg.logging.detailed_eval_frequency, 1)
-        if self.paths is not None and ((epoch + 1) % freq == 0) and bleu_preds:
+        if (
+            self.paths is not None
+            and is_primary_host()
+            and ((epoch + 1) % freq == 0)
+            and bleu_preds
+        ):
             compute_all_metrics(
                 bleu_preds,
                 bleu_tgts,
@@ -658,7 +691,7 @@ class Trainer:
             self._trace_ctx = maybe_trace(True, log_dir, "train_epoch0")
         else:
             self._trace_ctx = None
-        if self.registry is not None:
+        if self.registry is not None and is_primary_host():
             self.registry.update_status(self.experiment_name, "training")
         stopped_early = False
         epoch = self.start_epoch - 1
@@ -682,10 +715,10 @@ class Trainer:
                 val_metrics.get("val_levenshtein", 0),
                 self.scheduler.lr,
             )
-            if self.registry is not None:
+            if self.registry is not None and is_primary_host():
                 # 1-based epoch keys, reference trainer.py:650-664.
                 self.registry.log_metrics(self.experiment_name, epoch + 1, epoch_metrics)
-            elif self.paths is not None and self.cfg.evaluation.save_basic_metrics:
+            elif self.paths is not None and is_primary_host() and self.cfg.evaluation.save_basic_metrics:
                 # metrics.json is written even without a registry (reference
                 # trainer.py:650-664 writes it directly).
                 import json
@@ -731,7 +764,7 @@ class Trainer:
                 break
         # Final checkpoint so resume/predict always has the last state.
         self.save_checkpoint(max(epoch, 0))
-        if self.registry is not None:
+        if self.registry is not None and is_primary_host():
             self.registry.update_status(self.experiment_name, "completed")
         return {
             "epochs_run": (epoch + 1) - self.start_epoch,

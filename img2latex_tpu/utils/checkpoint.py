@@ -34,11 +34,42 @@ def save_checkpoint(
     is_best: bool = False,
     keep: Optional[int] = None,
 ) -> Path:
-    """Save ``state_tree`` (arrays) + ``meta`` (JSON) under ``step_<N>/``."""
+    """Save ``state_tree`` (arrays) + ``meta`` (JSON) under ``step_<N>/``.
+
+    Multi-host: only the primary writes.  The train state is fully
+    replicated (DP shards data, not params), so process 0 pulls its local
+    copy to host and saves WITHOUT cross-process coordination
+    (``active_processes={0}`` — no global barrier, non-primaries return
+    immediately; callers gate on ``is_primary_host`` anyway)."""
     ckpt_dir = Path(ckpt_dir).absolute()
-    ckpt_dir.mkdir(parents=True, exist_ok=True)
     step_dir = ckpt_dir / f"step_{step}"
-    with ocp.PyTreeCheckpointer() as ckptr:
+    import jax
+
+    if jax.process_count() > 1:
+        if jax.process_index() != 0:
+            return step_dir
+        import numpy as np
+
+        def to_host(x):
+            try:
+                return np.asarray(x)
+            except Exception as e:  # non-replicated leaf (model-axis TP)
+                raise ValueError(
+                    "multi-host checkpointing requires fully-replicated state "
+                    "(hardware.mesh_shape model axis == 1)"
+                ) from e
+
+        state_tree = jax.tree_util.tree_map(to_host, state_tree)
+        ckptr_ctx = ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0}
+            ),
+        )
+    else:
+        ckptr_ctx = ocp.PyTreeCheckpointer()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    with ckptr_ctx as ckptr:
         ckptr.save(step_dir / _STATE_SUBDIR, state_tree, force=True)
     (step_dir / _META_FILE).write_text(json.dumps(meta, indent=2))
     if is_best:
