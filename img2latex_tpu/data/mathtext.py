@@ -36,41 +36,68 @@ def _atom(rng) -> List[str]:
     return [str(rng.choice(GREEK))]
 
 
-def _unit(rng, depth: int) -> List[str]:
-    """One visual unit: atom, scripted atom, frac, sqrt or function call."""
+def _unit(rng, depth: int, tall: bool = False) -> List[str]:
+    """One visual unit: atom, scripted atom, frac, sqrt or function call.
+
+    ``tall=True`` (the "im2latex" profile) nests to depth 3 and boosts the
+    fraction probability so LONG formulas are also TALL — matching the real
+    dataset, where 100+-token formulas carry vertical structure and still
+    pass the aspect filter (height-64 resize must fit the 800px canvas)."""
     r = rng.random()
-    if depth >= 2 or r < 0.45:
+    max_depth = 3 if tall else 2
+    a, b, c, d = (0.30, 0.45, 0.78, 0.88) if tall else (0.45, 0.6, 0.75, 0.85)
+    if depth >= max_depth or r < a:
         toks = _atom(rng)
-    elif r < 0.6:  # sub/superscript
+    elif r < b:  # sub/superscript
         base = _atom(rng)
         script = "_" if rng.random() < 0.5 else "^"
         toks = base + [script, "{", *_atom(rng), "}"]
-    elif r < 0.75:  # fraction
-        toks = ["\\frac", "{", *_expr(rng, depth + 1, max_units=2), "}",
-                "{", *_expr(rng, depth + 1, max_units=2), "}"]
-    elif r < 0.85:  # sqrt
-        toks = ["\\sqrt", "{", *_expr(rng, depth + 1, max_units=2), "}"]
+    elif r < c:  # fraction
+        toks = ["\\frac", "{", *_expr(rng, depth + 1, max_units=2, tall=tall), "}",
+                "{", *_expr(rng, depth + 1, max_units=2, tall=tall), "}"]
+    elif r < d:  # sqrt
+        toks = ["\\sqrt", "{", *_expr(rng, depth + 1, max_units=2, tall=tall), "}"]
     else:  # function
         toks = [str(rng.choice(FUNCS)), "(", *_atom(rng), ")"]
     return toks
 
 
-def _expr(rng, depth: int = 0, max_units: Optional[int] = None) -> List[str]:
+def _expr(rng, depth: int = 0, max_units: Optional[int] = None, tall: bool = False) -> List[str]:
     # "=" only reads naturally at the top level; nested expressions use +/-.
     ops = BINOPS if depth == 0 else ["+", "-"]
     n = int(rng.integers(1, (max_units or 4) + 1))
-    out = _unit(rng, depth)
+    out = _unit(rng, depth, tall)
     for _ in range(n - 1):
-        out += [str(rng.choice(ops))] + _unit(rng, depth)
+        out += [str(rng.choice(ops))] + _unit(rng, depth, tall)
     return out
 
 
-def random_latex_formulas(n: int, seed: int = 0, max_tokens: int = 40) -> List[str]:
+def random_latex_formulas(
+    n: int, seed: int = 0, max_tokens: int = 40, length_profile: str = "short"
+) -> List[str]:
+    """Sample formulas from the grammar.
+
+    ``length_profile``:
+
+    * ``"short"`` — one or two top-level expressions, <= max_tokens (the
+      round-1 48-token-seq corpora);
+    * ``"im2latex"`` — per-formula target length drawn from a lognormal
+      (median ~40 tokens, tail toward ``max_tokens``), built by chaining
+      top-level expressions — emulating the reference dataset's length
+      distribution (max decoder sequence 141, reference
+      ``config.yaml:13``; dataset mean width 319px at height ~61,
+      ``README.md:47-52``).
+    """
     rng = np.random.default_rng(seed)
+    tall = length_profile == "im2latex"
     out = []
     while len(out) < n:
-        toks = _expr(rng, 0)
-        if rng.random() < 0.5:
+        toks = _expr(rng, 0, tall=tall)
+        if tall:
+            target = int(np.clip(rng.lognormal(np.log(40.0), 0.55), 8, max_tokens))
+            while len(toks) < target:
+                toks += [str(rng.choice(BINOPS))] + _expr(rng, 0, tall=True)
+        elif rng.random() < 0.5:
             toks += [str(rng.choice(BINOPS))] + _expr(rng, 0)
         if len(toks) <= max_tokens:
             out.append(" ".join(toks))
@@ -117,11 +144,19 @@ def write_mathtext_corpus(
     seed: int = 0,
     fontsize: int = 22,
     workers: int = 0,
+    max_tokens: int = 40,
+    length_profile: str = "short",
+    max_aspect: Optional[float] = None,
 ) -> Tuple[str, int]:
     """Write a rendered-LaTeX corpus in the IM2LaTeX layout; returns
     (root, n_failed).  Formulas that mathtext rejects are re-sampled.
     ``workers > 0`` renders in a process pool (matplotlib is ~23 renders/s
-    per core; large corpora need the parallelism)."""
+    per core; large corpora need the parallelism).
+
+    ``max_aspect`` drops renders wider than ``max_aspect * height`` and
+    re-samples — the reference dataset's own size filtering (its splits are
+    ``*_filter.lst`` files).  11.5 keeps a height-64 aspect-resize within
+    the 800px canvas."""
     from PIL import Image
 
     os.makedirs(os.path.join(root, "img"), exist_ok=True)
@@ -141,7 +176,12 @@ def write_mathtext_corpus(
         pool = mp.get_context(method).Pool(workers)
     try:
         while len(formulas) < total:
-            batch = random_latex_formulas(total - len(formulas) + 8, seed=rng_seed)
+            batch = random_latex_formulas(
+                total - len(formulas) + 8,
+                seed=rng_seed,
+                max_tokens=max_tokens,
+                length_profile=length_profile,
+            )
             rng_seed += 1
             if pool is not None:
                 rendered = pool.map(
@@ -152,7 +192,9 @@ def write_mathtext_corpus(
             for f, arr in zip(batch, rendered):
                 if len(formulas) >= total:
                     break
-                if arr is None:
+                if arr is None or (
+                    max_aspect is not None and arr.shape[1] > max_aspect * arr.shape[0]
+                ):
                     failed += 1
                     continue
                 formulas.append(f)

@@ -44,6 +44,37 @@ def flatten_permutation(c: int, h: int, w: int) -> np.ndarray:
     return np.transpose(idx, (1, 2, 0)).reshape(-1)  # new order (h, w, c)
 
 
+def _convert_decoder_key(key: str, value: Any, cell: Dict[str, Any]) -> bool:
+    """Map one reference decoder/head state-dict key into the flax cell tree
+    (shared by cnn_lstm and resnet_lstm — the decoder is identical,
+    ``model/decoder.py:16-284``).  Returns True when handled."""
+    if key == "decoder.embedding.weight":
+        cell["embedding"] = {"embedding": _t(value)}
+        return True
+    m = re.match(r"decoder\.lstm\.(weight|bias)_(ih|hh)_l(\d+)$", key)
+    if m:
+        part, which, layer = m.groups()
+        name = f"{'W' if part == 'weight' else 'b'}_{which}_l{layer}"
+        arr = _t(value)
+        cell["lstm"][name] = arr.T if part == "weight" else arr
+        return True
+    if key.startswith("decoder.attention.attn."):
+        cell.setdefault("attention", {}).setdefault("attn", {})[
+            "kernel" if key.endswith("weight") else "bias"
+        ] = _t(value).T if key.endswith("weight") else _t(value)
+        return True
+    if key.startswith("decoder.attention.v."):
+        cell.setdefault("attention", {}).setdefault("v", {})["kernel"] = _t(value).T
+        return True
+    if key == "decoder.output_layer.weight":
+        cell.setdefault("out", {})["kernel"] = _t(value).T
+        return True
+    if key == "decoder.output_layer.bias":
+        cell.setdefault("out", {})["bias"] = _t(value)
+        return True
+    return False
+
+
 def convert_cnn_lstm_state_dict(
     state_dict: Dict[str, Any],
     conv_shape_after: Tuple[int, int, int],
@@ -80,29 +111,7 @@ def convert_cnn_lstm_state_dict(
         if key == "encoder.embedding_layer.bias":
             params["encoder"].setdefault("Dense_0", {})["bias"] = _t(value)
             continue
-        if key == "decoder.embedding.weight":
-            cell["embedding"] = {"embedding": _t(value)}
-            continue
-        m = re.match(r"decoder\.lstm\.(weight|bias)_(ih|hh)_l(\d+)$", key)
-        if m:
-            part, which, layer = m.groups()
-            name = f"{'W' if part == 'weight' else 'b'}_{which}_l{layer}"
-            arr = _t(value)
-            cell["lstm"][name] = arr.T if part == "weight" else arr
-            continue
-        if key.startswith("decoder.attention.attn."):
-            cell.setdefault("attention", {}).setdefault("attn", {})[
-                "kernel" if key.endswith("weight") else "bias"
-            ] = _t(value).T if key.endswith("weight") else _t(value)
-            continue
-        if key.startswith("decoder.attention.v."):
-            cell.setdefault("attention", {}).setdefault("v", {})["kernel"] = _t(value).T
-            continue
-        if key == "decoder.output_layer.weight":
-            cell.setdefault("out", {})["kernel"] = _t(value).T
-            continue
-        if key == "decoder.output_layer.bias":
-            cell.setdefault("out", {})["bias"] = _t(value)
+        if _convert_decoder_key(key, value, cell):
             continue
         # dropout layers etc. have no params; anything else is unexpected
     for i, tree in conv_idx.items():
@@ -110,18 +119,70 @@ def convert_cnn_lstm_state_dict(
     return params
 
 
+# nn.Sequential(list(backbone.children())[:-1]) renames torchvision modules
+# to indices (reference encoder.py:199-200): 0=conv1, 1=bn1, 2=relu,
+# 3=maxpool, 4..7=layer1..4, 8=avgpool (only parameterized ones listed).
+_SEQ_TO_TORCHVISION = {0: "conv1", 1: "bn1", 4: "layer1", 5: "layer2", 6: "layer3", 7: "layer4"}
+
+
+def convert_resnet_lstm_state_dict(
+    state_dict: Dict[str, Any],
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference resnet_lstm ``model_state_dict`` -> (flax params tree,
+    batch_stats tree).
+
+    The backbone keys are ``encoder.resnet.<seq_idx>.<torchvision tail>``;
+    they are renamed back to torchvision form and mapped through the tested
+    backbone converter (:mod:`img2latex_tpu.models.pretrained`).  The head
+    (``encoder.embedding_layer``: Linear(512|2048 -> E) after avgpool+flatten,
+    reference ``encoder.py:225-228``) transposes directly — torch's flatten
+    of (F, 1, 1) is the identity, so no layout permutation is needed.  The
+    decoder maps exactly like cnn_lstm."""
+    from img2latex_tpu.models.pretrained import convert_state_dict, unflatten
+
+    params: Dict[str, Any] = {"encoder": {}, "decoder": {"cell": {}}}
+    cell = params["decoder"]["cell"]
+    cell["lstm"] = {}
+    backbone_sd: Dict[str, Any] = {}
+    for key, value in state_dict.items():
+        m = re.match(r"encoder\.resnet\.(\d+)\.(.+)$", key)
+        if m:
+            idx, tail = int(m.group(1)), m.group(2)
+            name = _SEQ_TO_TORCHVISION.get(idx)
+            if name is not None:  # relu/maxpool/avgpool carry no params
+                backbone_sd[f"{name}.{tail}"] = value
+            continue
+        if key == "encoder.embedding_layer.weight":
+            params["encoder"].setdefault("Dense_0", {})["kernel"] = _t(value).T
+            continue
+        if key == "encoder.embedding_layer.bias":
+            params["encoder"].setdefault("Dense_0", {})["bias"] = _t(value)
+            continue
+        if _convert_decoder_key(key, value, cell):
+            continue
+    bb_params, bb_stats = unflatten(convert_state_dict(backbone_sd))
+    params["encoder"]["backbone"] = bb_params
+    batch_stats = {"encoder": {"backbone": bb_stats}} if bb_stats else {}
+    return params, batch_stats
+
+
 def convert_reference_checkpoint(ckpt: Dict[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any], Dict[str, Any]]:
-    """Full reference checkpoint dict -> (flax_params, config_dict,
-    tokenizer_config).  Only cnn_lstm is supported (the reference's
-    resnet_lstm uses torchvision backbones — convert those with
-    scripts/convert_torchvision_resnet.py)."""
+    """Full reference checkpoint dict -> (variables, config_dict,
+    tokenizer_config), where ``variables = {"params": ..., "batch_stats":
+    ...}`` (batch_stats populated for resnet_lstm's BatchNorm running
+    stats, empty for cnn_lstm).  Supports both reference model families
+    (``model/encoder.py:16-129`` and ``132-249``)."""
     cfg = ckpt.get("config", {})
     model_name = cfg.get("model", {}).get("name", "cnn_lstm")
-    if model_name != "cnn_lstm":
-        raise NotImplementedError(
-            "convert_reference_checkpoint supports cnn_lstm; for resnet_lstm "
-            "convert the backbone with scripts/convert_torchvision_resnet.py"
+    if model_name == "resnet_lstm":
+        params, batch_stats = convert_resnet_lstm_state_dict(ckpt["model_state_dict"])
+        return (
+            {"params": params, "batch_stats": batch_stats},
+            cfg,
+            ckpt.get("tokenizer_config", {}),
         )
+    if model_name != "cnn_lstm":
+        raise NotImplementedError(f"unknown reference model type {model_name!r}")
     enc = cfg.get("model", {}).get("encoder", {}).get("cnn", {})
     h = enc.get("img_height", 64)
     w = enc.get("img_width", 800)
@@ -134,4 +195,4 @@ def convert_reference_checkpoint(ckpt: Dict[str, Any]) -> Tuple[Dict[str, Any], 
     params = convert_cnn_lstm_state_dict(
         ckpt["model_state_dict"], (filters[-1], hh, ww)
     )
-    return params, cfg, ckpt.get("tokenizer_config", {})
+    return {"params": params, "batch_stats": {}}, cfg, ckpt.get("tokenizer_config", {})

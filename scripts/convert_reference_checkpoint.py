@@ -35,7 +35,7 @@ def main() -> int:
     from img2latex_tpu.utils import checkpoint as ckpt_lib
 
     ckpt = torch.load(args.input, map_location="cpu", weights_only=False)
-    params, ref_cfg, tokenizer_config = convert_reference_checkpoint(ckpt)
+    variables, ref_cfg, tokenizer_config = convert_reference_checkpoint(ckpt)
     cfg = config_from_dict(ref_cfg)
     step = int(ckpt.get("step", 0) or 0)
     meta = {
@@ -48,7 +48,11 @@ def main() -> int:
         "tokenizer_config": tokenizer_config,
         "converted_from": os.path.abspath(args.input),
     }
-    state_tree = {"params": params, "batch_stats": {}, "step": step}
+    state_tree = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+        "step": step,
+    }
     ckpt_lib.save_checkpoint(args.output, state_tree, meta, step=step, is_best=True)
     print(f"Converted {args.input} -> {args.output}/step_{step}")
     return 0

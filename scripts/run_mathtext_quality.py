@@ -39,6 +39,14 @@ def main() -> None:
                     help="artifacts/<name> output directory")
     ap.add_argument("--set", action="append", default=[], dest="extra_sets",
                     metavar="KEY=VALUE", help="extra config overrides (appended last)")
+    ap.add_argument("--profile", default="short", choices=["short", "im2latex"],
+                    help="formula length profile (im2latex: lognormal median ~40, tail to --max-tokens)")
+    ap.add_argument("--max-tokens", type=int, default=40)
+    ap.add_argument("--max-aspect", type=float, default=None,
+                    help="drop renders wider than this aspect (reference-style size filter)")
+    ap.add_argument("--seq", type=int, default=48,
+                    help="data.max_seq_length / inference.max_length")
+    ap.add_argument("--model", default="cnn_lstm", choices=["cnn_lstm", "resnet_lstm"])
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -60,6 +68,8 @@ def main() -> None:
         write_mathtext_corpus(
             args.root, n_train=args.train, n_val=args.val, n_test=args.test,
             seed=20260816, workers=args.workers,
+            max_tokens=args.max_tokens, length_profile=args.profile,
+            max_aspect=args.max_aspect,
         )
         print(f"corpus rendered in {time.time() - t0:.0f}s", flush=True)
     else:
@@ -73,7 +83,7 @@ def main() -> None:
     sets = [
         f"data.data_dir={args.root}",
         "data.batch_size=128",
-        "data.max_seq_length=48",
+        f"data.max_seq_length={args.seq}",
         # 1-core host: augmentation makes every epoch host-bound.  The train
         # split lives in HBM (device_cache): batches gather on device, no
         # per-step uploads (also immune to the tunnel's transfer leak,
@@ -82,7 +92,7 @@ def main() -> None:
         "data.device_cache=true",
         "data.eval_batch_size_multiplier=2",
         "data.max_eval_batch_size=256",
-        "model.name=cnn_lstm",
+        f"model.name={args.model}",
         # Probed on-chip (3-epoch A/B): embed 512/hidden 512 at lr 1e-3 in
         # bf16 collapses to the label-smoothing floor (val_acc 0.17 flat);
         # at lr 5e-4 it trains fine but costs ~2.3x per epoch on this
@@ -91,7 +101,7 @@ def main() -> None:
         "model.embedding_dim=256",
         "model.decoder.hidden_dim=384",
         "model.decoder.dropout=0.2",
-        "inference.max_length=48",
+        f"inference.max_length={args.seq}",
         f"training.epochs={args.epochs}",
         f"training.experiment_name={args.experiment}",
         "training.early_stopping_patience=12",
@@ -154,7 +164,9 @@ def main() -> None:
         json.dump(
             {
                 "corpus": {"train": args.train, "val": args.val, "test": args.test},
-                "model": "cnn_lstm embed256 hidden384 layers2 dropout0.2 bf16 (no augment: 1-core host)",
+                "model": f"{args.model} embed256 hidden384 layers2 dropout0.2 bf16 (no augment: 1-core host)",
+                "profile": {"length_profile": args.profile, "max_tokens": args.max_tokens,
+                            "max_aspect": args.max_aspect, "max_seq_length": args.seq},
                 "extra_sets": args.extra_sets,
                 "free_running_test": results,
             },

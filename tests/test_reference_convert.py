@@ -190,12 +190,170 @@ class TestForwardEquivalence:
                                  "special_tokens": {"PAD": "<PAD>", "START": "<S>",
                                                     "END": "<E>", "UNK": "<U>"}},
         }
-        params, cfg, tok_cfg = convert_reference_checkpoint(ckpt)
+        variables, cfg, tok_cfg = convert_reference_checkpoint(ckpt)
+        params = variables["params"]
         assert "encoder" in params and "decoder" in params
+        assert variables["batch_stats"] == {}
         assert tok_cfg["max_sequence_length"] == 10
 
-    def test_resnet_checkpoint_rejected(self):
+    def test_unknown_model_rejected(self):
         with pytest.raises(NotImplementedError):
             convert_reference_checkpoint(
-                {"model_state_dict": {}, "config": {"model": {"name": "resnet_lstm"}}}
+                {"model_state_dict": {}, "config": {"model": {"name": "transformer"}}}
             )
+
+
+# ---------------------------------------------------------------------------
+# resnet_lstm checkpoint conversion (reference encoder.py:132-249): torch
+# resnet18 replica with torchvision naming wrapped in the reference's
+# nn.Sequential(children[:-1]) form -> our flax tree, forward-equivalent.
+# ---------------------------------------------------------------------------
+
+
+class TorchBasicBlock(nn.Module):
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False), nn.BatchNorm2d(cout)
+            )
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return torch.relu(y + idn)
+
+
+class TorchResNet18(nn.Module):
+    """torchvision resnet18 topology with torchvision attribute naming."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU()
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        chans = [64, 128, 256, 512]
+        for s_i, c in enumerate(chans, start=1):
+            cin = 64 if s_i == 1 else chans[s_i - 2]
+            stride = 1 if s_i == 1 else 2
+            blocks = [TorchBasicBlock(cin, c, stride), TorchBasicBlock(c, c, 1)]
+            setattr(self, f"layer{s_i}", nn.Sequential(*blocks))
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc = nn.Linear(512, 1000)
+
+    def children_list(self):
+        return [
+            self.conv1, self.bn1, self.relu, self.maxpool,
+            self.layer1, self.layer2, self.layer3, self.layer4, self.avgpool,
+        ]
+
+
+class TorchRefResNetEncoder(nn.Module):
+    """Reference ResNetEncoder (encoder.py:199-228): Sequential(children[:-1])
+    + flatten + Linear + ReLU."""
+
+    def __init__(self):
+        super().__init__()
+        backbone = TorchResNet18()
+        self.resnet = nn.Sequential(*backbone.children_list())
+        self.flatten = nn.Flatten()
+        self.embedding_layer = nn.Linear(512, E)
+
+    def forward(self, x):
+        y = self.resnet(x)
+        y = self.flatten(y)
+        return torch.relu(self.embedding_layer(y))
+
+
+class TorchRefResNetSeq2Seq(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.encoder = TorchRefResNetEncoder()
+        self.decoder = TorchRefDecoder()
+
+    def forward(self, images, targets):
+        enc = self.encoder(images)
+        return self.decoder(enc, targets[:, :-1])
+
+
+@pytest.fixture(scope="module")
+def resnet_models():
+    from img2latex_tpu.models.convert_reference import convert_resnet_lstm_state_dict
+
+    torch.manual_seed(1)
+    tmodel = TorchRefResNetSeq2Seq().eval()
+    # Perturb BN running stats so their conversion is actually exercised.
+    rng = np.random.default_rng(7)
+    for m in tmodel.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean.copy_(torch.tensor(rng.normal(0, 0.3, m.running_mean.shape), dtype=torch.float32))
+            m.running_var.copy_(torch.tensor(np.abs(rng.normal(1.0, 0.2, m.running_var.shape)), dtype=torch.float32))
+    fmodel = Seq2SeqModel(
+        model_type="resnet_lstm",
+        resnet_name="resnet18",
+        vocab_size=V,
+        embedding_dim=E,
+        hidden_dim=H,
+        lstm_layers=L,
+        dropout=0.0,
+        use_attention=True,
+    )
+    params, batch_stats = convert_resnet_lstm_state_dict(tmodel.state_dict())
+    return tmodel, fmodel, params, batch_stats
+
+
+class TestResNetForwardEquivalence:
+    def test_teacher_forced_logits_match(self, resnet_models):
+        tmodel, fmodel, params, batch_stats = resnet_models
+        rng = np.random.default_rng(3)
+        B, T = 2, 6
+        images = rng.normal(size=(B, 32, 64, 3)).astype(np.float32)
+        targets = rng.integers(0, V, size=(B, T)).astype(np.int32)
+        with torch.no_grad():
+            ref = tmodel(
+                torch.tensor(np.transpose(images, (0, 3, 1, 2))), torch.tensor(targets, dtype=torch.long)
+            ).numpy()
+        got = fmodel.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(images),
+            jnp.asarray(targets),
+        )
+        np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4)
+
+    def test_converted_tree_covers_fresh_init(self, resnet_models):
+        _, fmodel, params, batch_stats = resnet_models
+        variables = fmodel.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)), jnp.zeros((1, 4), jnp.int32)
+        )
+        fresh = {
+            "/".join(str(getattr(k, "key", k)) for k, _ in [(p, None) for p in path])
+            for path, _ in jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+        }
+        conv = {
+            "/".join(str(getattr(k, "key", k)) for k, _ in [(p, None) for p in path])
+            for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]
+        }
+        # the vector-memory fast path never executes attention in apply, but
+        # init creates it; everything else must be covered by the conversion
+        missing = {p for p in fresh - conv if "attention" not in p}
+        assert not missing, f"unconverted params: {sorted(missing)[:10]}"
+
+    def test_full_checkpoint_roundtrip(self, resnet_models):
+        tmodel, _, _, _ = resnet_models
+        ckpt = {
+            "model_state_dict": tmodel.state_dict(),
+            "config": {"model": {"name": "resnet_lstm"}},
+            "tokenizer_config": {"max_sequence_length": 12},
+        }
+        variables, cfg, tok_cfg = convert_reference_checkpoint(ckpt)
+        assert "backbone" in variables["params"]["encoder"]
+        assert variables["batch_stats"]["encoder"]["backbone"]["bn1"]["mean"].shape == (64,)
+        assert tok_cfg["max_sequence_length"] == 12
