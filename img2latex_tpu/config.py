@@ -168,6 +168,11 @@ class InferenceConfig:
     # reference's all-finished early break) — output-identical, faster on
     # trained models; routes around the fixed-length Pallas fast path.
     early_exit: bool = False
+    # Aspect-ratio buckets (widths at the model height, each a static shape
+    # compiled once): narrow images run the conv encoder at bucket width and
+    # the feature grid is white-filled to full width — output-identical to
+    # the fixed canvas, encoder cost proportional to width.  None = off.
+    bucket_widths: Optional[List[int]] = None
 
 
 @dataclass

@@ -58,8 +58,25 @@ class CNNEncoder(nn.Module):
     pallas_conv1: Any = False  # False | True | "interpret"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: (B, H, W, C) float -> (B, E) or (B, S, E) when output="grid"."""
+    def __call__(
+        self,
+        x: jnp.ndarray = None,
+        features_only: bool = False,
+        from_features: jnp.ndarray = None,
+    ) -> jnp.ndarray:
+        """x: (B, H, W, C) float -> (B, E) or (B, S, E) when output="grid".
+
+        ``features_only=True`` returns the pre-head conv feature grid
+        (B, H', W'', C); ``from_features`` skips the conv stack and applies
+        only the head to a given grid.  Together they support aspect-ratio
+        bucketing: narrow buckets run the (width-proportional) conv stack on
+        their own canvas, the feature grid is filled back to full width with
+        precomputed white-canvas columns, and the head sees exactly the
+        full-canvas layout (flax auto-naming keeps the head at ``Dense_0``
+        regardless of whether the convs executed, so the param tree is
+        unchanged)."""
+        if from_features is not None:
+            return self._head(from_features)
         x = x.astype(self.dtype)
         fuse = self.fused_pool and self.kernel_size == 3 and self.pool_size == 2
         for block_idx, filters in enumerate(self.conv_filters):
@@ -126,6 +143,11 @@ class CNNEncoder(nn.Module):
                 window_shape=(self.pool_size, self.pool_size),
                 strides=(self.pool_size, self.pool_size),
             )
+        if features_only:
+            return x
+        return self._head(x)
+
+    def _head(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.output == "grid":
             B, H, W, C = x.shape
             # Column-major grid: each of the W' columns becomes a memory slot

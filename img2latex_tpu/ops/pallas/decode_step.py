@@ -229,6 +229,7 @@ def _full_decode_kernel(
     start_id: int,
     end_id: int,
     pad_id: int,
+    early_exit: bool,
     *refs,
 ):
     """Entire greedy decode loop in ONE kernel: weights stay VMEM-resident
@@ -296,7 +297,26 @@ def _full_decode_kernel(
 
     tokens0 = jnp.full((B, 1), start_id, jnp.int32)
     finished0 = jnp.zeros((B, 1), jnp.int32)
-    jax.lax.fori_loop(0, max_length, body, (tokens0, finished0))
+    if not early_exit:
+        jax.lax.fori_loop(0, max_length, body, (tokens0, finished0))
+        return
+    # Early exit (inference.early_exit): stop the in-kernel loop once every
+    # row has emitted END — the trained-model latency win (mean sequence
+    # length << max_length).  Pre-fill the tail with PAD (skipped steps never
+    # store), carry (t, tokens, finished) through a while_loop with a scalar
+    # all-finished condition.  Output-identical to the full-length loop.
+    out_ref[...] = jnp.full_like(out_ref, pad_id)
+
+    def w_cond(state):
+        t, _, finished = state
+        return jnp.logical_and(t < max_length, jnp.sum(finished) < B)
+
+    def w_body(state):
+        t, tokens, finished = state
+        tokens, finished = body(t, (tokens, finished))
+        return t + 1, tokens, finished
+
+    jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), tokens0, finished0))
 
 
 def pallas_full_greedy_decode(
@@ -308,8 +328,14 @@ def pallas_full_greedy_decode(
     pad_id: int,
     interpret: bool = False,
     batch_tile: int = 256,
+    early_exit: bool = False,
 ) -> jnp.ndarray:
     """Whole-decode-in-one-kernel variant of :func:`pallas_greedy_decode`.
+
+    ``early_exit=True`` swaps the in-kernel fori_loop for a while_loop that
+    bails out once every row in the tile has emitted END (tail rows are
+    PAD-prefilled) — output-identical, and each batch tile exits
+    independently, so latency tracks the tile's longest sequence.
 
     Batches larger than ``batch_tile`` are split into tiles at the XLA level
     (``lax.map`` over chunks): at reference scale the weights plus one
@@ -330,7 +356,7 @@ def pallas_full_greedy_decode(
     H = int(packed["hidden_dim"])
     dtype = packed["emb"].dtype
     kernel = functools.partial(
-        _full_decode_kernel, L, max_length, start_id, end_id, pad_id
+        _full_decode_kernel, L, max_length, start_id, end_id, pad_id, early_exit
     )
     weight_args: List[jnp.ndarray] = [packed["emb"]]
     for i in range(L):

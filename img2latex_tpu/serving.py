@@ -40,6 +40,9 @@ class ServerStats:
     batches: int = 0
     batch_fill_sum: float = 0.0
     latency_sum_s: float = 0.0
+    # Ring of recent per-request latencies (seconds) for percentile readouts.
+    recent_latencies: list = field(default_factory=list)
+    recent_cap: int = 2048
 
     @property
     def mean_batch_fill(self) -> float:
@@ -48,6 +51,24 @@ class ServerStats:
     @property
     def mean_latency_ms(self) -> float:
         return self.latency_sum_s / self.requests * 1e3 if self.requests else 0.0
+
+    def record_latency(self, seconds: float) -> None:
+        self.latency_sum_s += seconds
+        self.recent_latencies.append(seconds)
+        if len(self.recent_latencies) > self.recent_cap:
+            del self.recent_latencies[: -self.recent_cap]
+
+    def latency_percentiles_ms(self) -> dict:
+        """p50/p95/p99 over the recent-latency window (ms)."""
+        if not self.recent_latencies:
+            return {"p50": 0.0, "p95": 0.0, "p99": 0.0}
+        xs = sorted(self.recent_latencies)
+
+        def pct(p: float) -> float:
+            i = min(int(p * (len(xs) - 1) + 0.5), len(xs) - 1)
+            return xs[i] * 1e3
+
+        return {"p50": pct(0.50), "p95": pct(0.95), "p99": pct(0.99)}
 
 
 class InferenceServer:
@@ -145,7 +166,7 @@ class InferenceServer:
                 now = time.perf_counter()
                 for req, result in zip(batch, results):
                     req.future.set_result(result)
-                    self.stats.latency_sum_s += now - req.enqueued_at
+                    self.stats.record_latency(now - req.enqueued_at)
                 self.stats.requests += len(batch)
                 self.stats.batches += 1
                 self.stats.batch_fill_sum += len(batch) / self.max_batch

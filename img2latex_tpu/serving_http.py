@@ -96,6 +96,7 @@ class _Handler(BaseHTTPRequestHandler):
                     "batches": s.batches,
                     "mean_batch_fill": s.mean_batch_fill,
                     "mean_latency_ms": s.mean_latency_ms,
+                    "latency_ms": s.latency_percentiles_ms(),
                 }
             )
         else:

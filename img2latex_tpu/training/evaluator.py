@@ -44,6 +44,7 @@ def evaluate_checkpoint(
     max_batches: Optional[int] = None,
     output_dir: Optional[str] = None,
     predictor: Optional[Predictor] = None,
+    bucket_widths: Optional[Any] = None,
 ) -> Dict[str, Any]:
     pred = predictor or Predictor.from_checkpoint(checkpoint_path)
     cfg = pred.cfg
@@ -70,6 +71,13 @@ def evaluate_checkpoint(
         length_penalty=length_penalty if length_penalty is not None else icfg.length_penalty,
         early_exit=early_exit if early_exit is not None else getattr(icfg, "early_exit", False),
     )
+
+    if bucket_widths is None:
+        bucket_widths = getattr(icfg, "bucket_widths", None)
+    if bucket_widths and cfg.model.name == "cnn_lstm":
+        return _evaluate_bucketed(
+            pred, cfg, loader, dcfg, split, bucket_widths, max_batches, output_dir
+        )
 
     all_preds, all_tgts, rows = [], [], []
     n_images = 0
@@ -119,6 +127,15 @@ def evaluate_checkpoint(
         sample_offset += n_valid
         n_images += n_valid
 
+    return _finish(
+        cfg, tok, split, all_preds, all_tgts, rows, n_images, decode_s,
+        first_batch_s, first_batch_images, dcfg, output_dir,
+    )
+
+
+def _finish(cfg, tok, split, all_preds, all_tgts, rows, n_images, decode_s,
+            first_batch_s, first_batch_images, dcfg, output_dir,
+            bucketed: bool = False):
     quality = calculate_metrics(all_preds, all_tgts, cfg.evaluation.bleu_n)
     correct, total = token_list_accuracy(all_preds, all_tgts, tok.pad_token_id)
     result = {
@@ -139,6 +156,7 @@ def evaluate_checkpoint(
             else n_images / max(first_batch_s, 1e-9)
         ),
         "images_per_second_includes_compile": decode_s <= 0,
+        "bucketed": bucketed,
         "decode": {
             "beam_size": dcfg.beam_size,
             "temperature": dcfg.temperature,
@@ -163,3 +181,52 @@ def evaluate_checkpoint(
             json.dump({"metrics": result, "predictions": rows}, f, indent=2)
         logger.info("Wrote %s/predictions.json", output_dir)
     return result
+
+
+def _evaluate_bucketed(pred, cfg, loader, dcfg, split, bucket_widths, max_batches, output_dir):
+    """Aspect-bucketed evaluation: decode straight from the image files (the
+    buckets need natural widths, which the fixed-canvas loader discards).
+    Encoder cost scales with each image's bucket; outputs are identical to
+    the fixed-canvas path (Predictor._predict_bucketed).  Throughput here
+    includes the per-bucket compiles — scripts/bench_buckets.py measures the
+    steady state."""
+    tok = pred.tokenizer
+    ds = loader.dataset
+    n = len(ds.samples)
+    if max_batches is not None:
+        n = min(n, max_batches * loader.batch_size)
+    paths = []
+    for name, _ in ds.samples[:n]:
+        p = os.path.join(ds.img_dir, name)
+        if not os.path.exists(p) and not os.path.splitext(name)[1]:
+            p += ".png"
+        paths.append(p)
+    t0 = time.perf_counter()
+    pred_ids = pred.predict_batch(
+        paths,
+        beam_size=dcfg.beam_size,
+        max_length=dcfg.max_length,
+        temperature=dcfg.temperature,
+        top_k=dcfg.top_k,
+        top_p=dcfg.top_p,
+        length_penalty=dcfg.length_penalty,
+        early_exit=dcfg.early_exit,
+        batch_size=loader.batch_size,
+        return_ids=True,
+        bucket_widths=bucket_widths,
+    )
+    wall = time.perf_counter() - t0
+    tgt_rows = np.stack([ds.token_ids(i) for i in range(n)])
+    tgt_ids = trim_host(tgt_rows[:, 1:], tok.end_token_id, tok.pad_token_id)
+    rows = [
+        {
+            "image": ds.samples[i][0],
+            "prediction": tok.decode(pred_ids[i]),
+            "reference": tok.decode(tgt_ids[i]),
+        }
+        for i in range(n)
+    ]
+    return _finish(
+        cfg, tok, split, pred_ids, tgt_ids, rows, n, 0.0, wall, 0, dcfg,
+        output_dir, bucketed=True,
+    )

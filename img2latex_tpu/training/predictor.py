@@ -148,15 +148,53 @@ class Predictor:
         return arr
 
     # ------------------------------------------------------------------
-    def _decode_fn(self, batch: int, dcfg: DecodeConfig, seed: int = 0):
+    # Aspect-ratio bucketing support (BASELINE.json: "aspect-ratio-bucketed
+    # variable-width batches"; SURVEY §7: "each bucket a static shape").
+    def _bucket_stride(self) -> int:
+        ccfg = self.cfg.model.encoder.cnn
+        return int(ccfg.pool_size) ** len(ccfg.conv_filters)
+
+    def bucket_margin_px(self) -> int:
+        """White margin appended to each bucket canvas (and required between
+        content and the bucket edge) so the kept feature columns never see a
+        canvas boundary — 4 feature columns covers the 3-block conv stack's
+        receptive field, making bucketed decode EXACTLY equal to the
+        full-canvas decode (tested)."""
+        return 4 * self._bucket_stride()
+
+    def _white_fill(self) -> jnp.ndarray:
+        """Conv feature grid of the all-white FULL canvas (H', W', C) — the
+        exact values the model sees for every column right of the content on
+        the standard canvas (including its right-edge padding effect)."""
+        if getattr(self, "_white_fill_cache", None) is None:
+            h, w, c = self.cfg.image_shape
+            white = np.full((1, h, w, c), self.cfg.preprocessing.pad_value, np.uint8)
+            mean = tuple(self.cfg.preprocessing.normalization_mean)
+            std = tuple(self.cfg.preprocessing.normalization_std)
+            x = normalize_images(jnp.asarray(white), mean, std)
+            feats = self.model.apply(
+                self._variables(), x, method=Seq2SeqModel.encode_features
+            )
+            self._white_fill_cache = feats[0]
+        return self._white_fill_cache
+
+    # ------------------------------------------------------------------
+    def _decode_fn(self, batch: int, dcfg: DecodeConfig, seed: int = 0,
+                   width: Optional[int] = None):
         """Build (and cache) the compiled end-to-end decode: uint8 images ->
-        token ids.  One executable per (batch, decode-config).
+        token ids.  One executable per (batch, decode-config[, bucket width]).
+
+        ``width``: aspect-ratio bucket — inputs are (B, H, width+margin, C)
+        canvases; the conv stack runs at bucket width (the e2e win: encoder
+        FLOPs scale with width) and the feature grid is filled back to full
+        width with the white-canvas columns before the head, so the decoder
+        sees exactly the full-canvas memory.
 
         With >1 visible device (and ``hardware.use_mesh`` not False) the
         decode is SPMD over the product mesh: images shard P('data'), params
         replicate, and each chip decodes its own batch rows — the pattern
         the v5e-8 north star (BASELINE.md) is served by."""
-        key = (batch, dcfg, seed)
+        key = (batch, dcfg, seed, width)
         if key in self._jit_cache:
             return self._jit_cache[key]
         model = self.model
@@ -170,13 +208,32 @@ class Predictor:
 
         mesh = product_mesh(self.cfg, batch)
 
+        if width is None:
+
+            def encode_fn(vs, images_u8):
+                x = normalize_images(images_u8, mean, std)
+                return model.apply(vs, x, method=Seq2SeqModel.encode)
+
+        else:
+            stride = self._bucket_stride()
+            keep = width // stride
+            fill = self._white_fill()[:, keep:, :]  # (H', W'-keep, C)
+
+            def encode_fn(vs, images_u8):
+                x = normalize_images(images_u8, mean, std)
+                feats = model.apply(vs, x, method=Seq2SeqModel.encode_features)
+                feats = feats[:, :, :keep, :]
+                B = feats.shape[0]
+                tail = jnp.broadcast_to(fill[None].astype(feats.dtype), (B,) + fill.shape)
+                full = jnp.concatenate([feats, tail], axis=2)
+                return model.apply(vs, full, method=Seq2SeqModel.encode_from_features)
+
         # Fused-Pallas greedy fast path (hardware.use_pallas_decode): vector
         # memory + pure argmax only; other strategies use the scan path.
         use_pallas = (
             self.cfg.hardware.use_pallas_decode
             and dcfg.beam_size == 0
             and not dcfg.sampling
-            and not dcfg.early_exit  # the fused kernel always runs max_length steps
             and getattr(self.cfg.model, "memory", "vector") == "vector"
             # TPU-only (Mosaic kernel); "axon" = tunneled-TPU plugin backend.
             and jax.default_backend() in ("tpu", "axon")
@@ -189,44 +246,53 @@ class Predictor:
 
             packed = pack_decoder_weights(self._variables(), self.tokenizer.vocab_size, dtype)
 
-            def pallas_decode(pk, vs, images_u8, rng):
-                x = normalize_images(images_u8, mean, std)
-                memory = model.apply(vs, x, method=Seq2SeqModel.encode)
+            def pallas_kernel(pk, memory_vec):
                 # Whole-decode-in-one-kernel: weights stay VMEM-resident
                 # across all steps (1.8x the scanned step kernel at B=256,
                 # measured on a v5e chip; batches >256 are tiled inside).
+                # early_exit: in-kernel all-finished bailout (per tile).
                 return pallas_full_greedy_decode(
                     pk,
-                    memory[:, 0, :],
+                    memory_vec,
                     dcfg.max_length,
                     dcfg.start_id,
                     dcfg.end_id,
                     dcfg.pad_id,
+                    early_exit=dcfg.early_exit,
                 )
 
             if mesh is None:
-                run_pallas = jax.jit(partial(pallas_decode, packed, variables))
+
+                @jax.jit
+                def run_pallas(images_u8, rng):
+                    memory = encode_fn(variables, images_u8)
+                    return pallas_kernel(packed, memory[:, 0, :])
+
             else:
-                # Pallas kernels are per-device programs — under a mesh each
-                # chip runs the whole kernel on its local batch shard
-                # (shard_map; no collectives in decode).
-                from jax.sharding import PartitionSpec as P
+                # Pallas kernels are per-device programs — the encoder runs
+                # GSPMD over the mesh; only the kernel call wraps in
+                # shard_map so each chip decodes its local batch shard.
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
                 local = jax.shard_map(
-                    pallas_decode,
+                    pallas_kernel,
                     mesh=mesh,
-                    in_specs=(P(), P(), P("data"), P()),
+                    in_specs=(P(), P("data")),
                     out_specs=P("data"),
                     check_vma=False,
                 )
-                run_pallas = jax.jit(lambda images_u8, rng: local(packed, variables, images_u8, rng))
+                data_sh = NamedSharding(mesh, P("data"))
+
+                @partial(jax.jit, in_shardings=(data_sh, None), out_shardings=data_sh)
+                def run_pallas(images_u8, rng):
+                    memory = encode_fn(variables, images_u8)
+                    return local(packed, memory[:, 0, :])
 
             self._jit_cache[key] = run_pallas
             return run_pallas
 
         def run_impl(images_u8: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
-            x = normalize_images(images_u8, mean, std)
-            memory = model.apply(variables, x, method=Seq2SeqModel.encode)
+            memory = encode_fn(variables, images_u8)
 
             if dcfg.beam_size > 0:
                 K = dcfg.beam_size
@@ -267,6 +333,76 @@ class Predictor:
         return run
 
     # ------------------------------------------------------------------
+    def _natural_size(self, image: ImageLike):
+        """(width, height) of the raw input, or None when unavailable."""
+        if isinstance(image, str):
+            try:
+                from PIL import Image as PILImage
+
+                with PILImage.open(image) as im:
+                    return im.size
+            except Exception:
+                return None
+        try:
+            from PIL import Image as PILImage
+
+            if isinstance(image, PILImage.Image):
+                return image.size
+        except ImportError:  # pragma: no cover
+            pass
+        arr = np.asarray(image)
+        if arr.ndim in (2, 3):
+            if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[-1] not in (1, 3):
+                return arr.shape[2], arr.shape[1]  # CHW
+            return arr.shape[1], arr.shape[0]
+        return None
+
+    def _prepare_image_at_width(self, image: ImageLike, canvas_w: int) -> np.ndarray:
+        """Input -> uint8 (H, canvas_w, C) canvas (reference geometry,
+        ``transforms.py:26-56``, at the bucket's width)."""
+        from PIL import Image as PILImage
+
+        from img2latex_tpu.data.transforms import resize_with_aspect_ratio
+
+        h, _, c = self.cfg.image_shape
+        mode = "L" if c == 1 else "RGB"
+        if isinstance(image, str):
+            img = PILImage.open(image).convert(mode)
+        elif isinstance(image, PILImage.Image):
+            img = image.convert(mode)
+        else:
+            arr = np.asarray(image)
+            if arr.dtype != np.uint8:
+                a = arr.astype(np.float32)
+                if a.min() < 0:
+                    a = (a + 1.0) / 2.0
+                arr = np.clip(a * 255.0, 0, 255).astype(np.uint8)
+            if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[-1] not in (1, 3):
+                arr = np.transpose(arr, (1, 2, 0))
+            if arr.ndim == 3 and arr.shape[2] == 1:
+                arr = arr[:, :, 0]
+            img = PILImage.fromarray(arr).convert(mode)
+        img = resize_with_aspect_ratio(img, h, canvas_w, self.cfg.preprocessing.pad_value)
+        out = np.asarray(img, dtype=np.uint8)
+        return out[:, :, None] if c == 1 else out
+
+    def _assign_bucket(self, image: ImageLike, bucket_widths) -> Optional[int]:
+        """Smallest bucket whose width fits the height-resized content plus
+        the white margin; None = use the standard full canvas."""
+        h, w_full, _ = self.cfg.image_shape
+        size = self._natural_size(image)
+        if size is None or size[1] == 0:
+            return None
+        nat_w = int(round(h * size[0] / size[1]))
+        margin = self.bucket_margin_px()
+        stride = self._bucket_stride()
+        for bw in sorted(int(b) for b in bucket_widths):
+            if bw % stride or bw >= w_full:
+                continue
+            if nat_w + margin <= bw:
+                return bw
+        return None
+
     def predict_batch(
         self,
         images: Sequence[ImageLike],
@@ -280,8 +416,11 @@ class Predictor:
         batch_size: Optional[int] = None,
         seed: int = 0,
         return_ids: bool = False,
+        bucket_widths: Optional[Sequence[int]] = None,
     ) -> List[Any]:
         icfg = self.cfg.inference
+        if bucket_widths is None:
+            bucket_widths = getattr(icfg, "bucket_widths", None)
         dcfg = DecodeConfig(
             max_length=max_length if max_length is not None else icfg.max_length,
             start_id=self.tokenizer.start_token_id,
@@ -296,8 +435,10 @@ class Predictor:
         )
         B = batch_size or self.batch_size
         h, w, c = self.cfg.image_shape
-        results: List[Any] = []
         rng = jax.random.PRNGKey(seed)
+        if bucket_widths and self.cfg.model.name == "cnn_lstm":
+            return self._predict_bucketed(images, dcfg, B, rng, return_ids, bucket_widths)
+        results: List[Any] = []
         run = self._decode_fn(B, dcfg, seed)
         for i in range(0, len(images), B):
             chunk = images[i : i + B]
@@ -316,6 +457,46 @@ class Predictor:
                 results.extend(id_lists)
             else:
                 results.extend(self.tokenizer.decode(ids) for ids in id_lists)
+        return results
+
+    def _predict_bucketed(
+        self,
+        images: Sequence[ImageLike],
+        dcfg: DecodeConfig,
+        B: int,
+        rng: jax.Array,
+        return_ids: bool,
+        bucket_widths: Sequence[int],
+    ) -> List[Any]:
+        """Group inputs by aspect bucket, decode each group through its own
+        compiled executable (conv cost scales with bucket width), reassemble
+        in input order.  Outputs are exactly the full-canvas outputs (the
+        white margin + feature fill make bucketing numerically transparent,
+        tests/test_buckets.py)."""
+        h, w_full, c = self.cfg.image_shape
+        margin = self.bucket_margin_px()
+        groups: Dict[Optional[int], List[int]] = {}
+        for idx, img in enumerate(images):
+            groups.setdefault(self._assign_bucket(img, bucket_widths), []).append(idx)
+        results: List[Any] = [None] * len(images)
+        for bw, idxs in groups.items():
+            canvas_w = w_full if bw is None else bw + margin
+            run = self._decode_fn(B, dcfg, width=bw)
+            for i in range(0, len(idxs), B):
+                chunk = idxs[i : i + B]
+                buf = np.zeros((B, h, canvas_w, c), dtype=np.uint8)
+                for j, idx in enumerate(chunk):
+                    buf[j] = self._prepare_image_at_width(images[idx], canvas_w)
+                rng, sub = jax.random.split(rng)
+                tokens = run(jnp.asarray(buf), sub)
+                id_lists = trim_host(
+                    np.asarray(tokens)[: len(chunk)],
+                    self.tokenizer.end_token_id,
+                    self.tokenizer.pad_token_id,
+                    start_id=self.tokenizer.start_token_id,
+                )
+                for idx, ids in zip(chunk, id_lists):
+                    results[idx] = ids if return_ids else self.tokenizer.decode(ids)
         return results
 
     def predict(self, image: ImageLike, **kwargs) -> Any:

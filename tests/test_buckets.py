@@ -1,0 +1,184 @@
+"""Aspect-ratio bucketing (BASELINE.json "aspect-ratio-bucketed
+variable-width batches"; SURVEY §7): narrow images run the conv encoder at
+bucket width, the feature grid is white-filled to full width, and the decode
+output is EXACTLY the fixed-canvas output — each bucket is one static-shape
+executable.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from img2latex_tpu.config import Config
+from img2latex_tpu.data.tokenizer import LaTeXTokenizer
+from img2latex_tpu.models.seq2seq import Seq2SeqModel, build_model
+from img2latex_tpu.training.predictor import Predictor
+
+
+def _cfg(memory="vector"):
+    cfg = Config()
+    cfg.model.embedding_dim = 32
+    cfg.model.decoder.hidden_dim = 32
+    cfg.model.decoder.lstm_layers = 1
+    cfg.model.decoder.dropout = 0.0
+    cfg.model.memory = memory
+    cfg.model.encoder.cnn.img_height = 32
+    cfg.model.encoder.cnn.img_width = 256
+    cfg.model.encoder.cnn.conv_filters = [4, 8]
+    cfg.data.max_seq_length = 12
+    cfg.inference.max_length = 10
+    cfg.hardware.compute_dtype = "float32"
+    cfg.hardware.use_mesh = False
+    cfg.hardware.use_pallas_decode = False
+    return cfg
+
+
+def _predictor(memory="vector", vocab=24):
+    cfg = _cfg(memory)
+    model = build_model(cfg, vocab)
+    h, w, c = cfg.image_shape
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, h, w, c)), jnp.zeros((2, 5), jnp.int32)
+    )
+    tok = LaTeXTokenizer(max_sequence_length=12)
+    tok.default_init()
+    return Predictor(cfg, model, variables["params"], {}, tok, batch_size=4), cfg
+
+
+def _content_images(widths, h=40):
+    """Variable-width grayscale PIL images with non-trivial content."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    out = []
+    for w in widths:
+        arr = np.full((h, w), 255, np.uint8)
+        for _ in range(max(w // 12, 1)):  # random dark strokes
+            x0 = int(rng.integers(0, max(w - 6, 1)))
+            y0 = int(rng.integers(0, h - 6))
+            arr[y0 : y0 + 6, x0 : x0 + 4] = int(rng.integers(0, 120))
+        out.append(Image.fromarray(arr, mode="L"))
+    return out
+
+
+class TestBucketAssignment:
+    def test_assigns_smallest_fitting_bucket(self):
+        pred, cfg = _predictor()
+        margin = pred.bucket_margin_px()  # 4 * 2^2 = 16
+        assert margin == 16
+        imgs = _content_images([40, 300], h=32)  # natural widths 40, 300
+        assert pred._assign_bucket(imgs[0], [64, 128]) == 64
+        assert pred._assign_bucket(imgs[0], [128]) == 128
+        # too wide for every bucket -> full canvas
+        assert pred._assign_bucket(imgs[1], [64, 128]) is None
+        # buckets not divisible by stride or >= full width are skipped
+        assert pred._assign_bucket(imgs[0], [63, 999]) is None
+
+    def test_natural_size_dispatch(self, tmp_path):
+        pred, _ = _predictor()
+        img = _content_images([50], h=20)[0]
+        assert pred._natural_size(img) == (50, 20)
+        p = str(tmp_path / "x.png")
+        img.save(p)
+        assert pred._natural_size(p) == (50, 20)
+        assert pred._natural_size(np.zeros((20, 50), np.uint8)) == (50, 20)
+
+
+class TestBucketedExactness:
+    @pytest.mark.parametrize("memory", ["vector", "grid"])
+    def test_bucketed_equals_fixed_canvas(self, memory):
+        pred, cfg = _predictor(memory)
+        imgs = _content_images([40, 90, 150, 230], h=32)
+        fixed = pred.predict_batch(imgs, return_ids=True, beam_size=0)
+        bucketed = pred.predict_batch(
+            imgs, return_ids=True, beam_size=0, bucket_widths=[64, 128, 192]
+        )
+        assert fixed == bucketed
+
+    def test_bucketed_memory_matches_fixed(self):
+        """The encoder memory itself (not just argmax tokens) matches."""
+        from img2latex_tpu.ops.preprocess import normalize_images
+
+        pred, cfg = _predictor("vector")
+        h, w_full, c = cfg.image_shape
+        img = _content_images([60], h=32)[0]
+        full_canvas = pred._prepare_image_at_width(img, w_full)
+        mean = tuple(cfg.preprocessing.normalization_mean)
+        std = tuple(cfg.preprocessing.normalization_std)
+        vs = pred._variables()
+        mem_full = pred.model.apply(
+            vs, normalize_images(jnp.asarray(full_canvas[None]), mean, std),
+            method=Seq2SeqModel.encode,
+        )
+        bw = 128
+        keep = bw // pred._bucket_stride()
+        canvas = pred._prepare_image_at_width(img, bw + pred.bucket_margin_px())
+        feats = pred.model.apply(
+            vs, normalize_images(jnp.asarray(canvas[None]), mean, std),
+            method=Seq2SeqModel.encode_features,
+        )[:, :, :keep, :]
+        fill = pred._white_fill()[None, :, keep:, :]
+        mem_bucket = pred.model.apply(
+            vs, jnp.concatenate([feats, fill.astype(feats.dtype)], axis=2),
+            method=Seq2SeqModel.encode_from_features,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mem_full), np.asarray(mem_bucket), atol=1e-5
+        )
+
+    def test_beam_and_sampling_bucketed(self):
+        pred, _ = _predictor("vector")
+        imgs = _content_images([40, 90], h=32)
+        fixed = pred.predict_batch(imgs, return_ids=True, beam_size=3)
+        bucketed = pred.predict_batch(
+            imgs, return_ids=True, beam_size=3, bucket_widths=[64, 128]
+        )
+        assert fixed == bucketed
+
+    def test_order_preserved_across_buckets(self):
+        pred, _ = _predictor("vector")
+        # interleave wide/narrow so groups are non-contiguous
+        imgs = _content_images([40, 200, 44, 204, 48, 208], h=32)
+        fixed = pred.predict_batch(imgs, return_ids=True, beam_size=0)
+        bucketed = pred.predict_batch(
+            imgs, return_ids=True, beam_size=0, bucket_widths=[64]
+        )
+        assert fixed == bucketed
+
+
+class TestBucketedEvaluate:
+    def test_evaluate_bucketed_matches_fixed(self, tmp_path):
+        from img2latex_tpu.data.pipeline import create_data_loaders, read_formulas
+        from img2latex_tpu.data.synthetic import write_synthetic_corpus
+        from img2latex_tpu.training.evaluator import evaluate_checkpoint
+        from img2latex_tpu.training.trainer import Trainer
+        from img2latex_tpu.utils.paths import PathManager
+
+        corpus = write_synthetic_corpus(
+            str(tmp_path / "data"), n_train=16, n_val=4, n_test=8, seed=11
+        )
+        cfg = _cfg()
+        cfg.data.data_dir = corpus
+        cfg.data.batch_size = 8
+        cfg.training.epochs = 1
+        tok = LaTeXTokenizer(max_sequence_length=cfg.data.max_seq_length)
+        tok.fit(read_formulas(os.path.join(corpus, "im2latex_formulas.norm.lst")))
+        loaders = create_data_loaders(cfg, tok)
+        paths = PathManager(str(tmp_path / "out"))
+        paths.outputs_dir.mkdir(parents=True, exist_ok=True)
+        tr = Trainer(cfg, tok, loaders, paths=paths, experiment_name="bk")
+        tr.train_epoch(0)
+        tr.save_checkpoint(0, is_best=True)
+        ckpt = str(paths.get_dir("bk", "checkpoints"))
+
+        fixed = evaluate_checkpoint(ckpt, split="test", batch_size=4)
+        bucketed = evaluate_checkpoint(
+            ckpt, split="test", batch_size=4, bucket_widths=[64, 128, 192]
+        )
+        assert bucketed["bucketed"] is True
+        assert bucketed["num_images"] == fixed["num_images"]
+        assert bucketed["bleu"] == pytest.approx(fixed["bleu"], abs=1e-9)
+        assert bucketed["levenshtein"] == pytest.approx(fixed["levenshtein"], abs=1e-9)

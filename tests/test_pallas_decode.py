@@ -115,3 +115,40 @@ class TestFullLoopKernel:
             packed, ctx, 20, 1, 2, 0, interpret=True, batch_tile=3
         )
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    def test_early_exit_matches_full_loop(self, setup):
+        """early_exit=True (in-kernel all-finished while_loop bailout) is
+        output-identical to the fixed-length loop, incl. under batch tiling."""
+        from img2latex_tpu.ops.pallas.decode_step import pallas_full_greedy_decode
+
+        cfg, model, params, memory, packed, V = setup
+        ctx = memory[:, 0, :]
+        ref = pallas_full_greedy_decode(packed, ctx, 20, 1, 2, 0, interpret=True)
+        got = pallas_full_greedy_decode(
+            packed, ctx, 20, 1, 2, 0, interpret=True, early_exit=True
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+        tiled = pallas_full_greedy_decode(
+            packed, ctx, 20, 1, 2, 0, interpret=True, early_exit=True, batch_tile=3
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(tiled))
+
+    def test_early_exit_pads_after_all_finished(self, setup):
+        """When every row finishes early the remaining steps emit PAD rows
+        (the while_loop never stores them; the prefill supplies PAD)."""
+        from img2latex_tpu.ops.pallas.decode_step import pallas_full_greedy_decode
+
+        cfg, model, params, memory, packed, V = setup
+        # Force END immediately: bias column end_id=2 to +inf-ish.
+        import jax.numpy as jnp
+
+        b_out = np.asarray(packed["b_out"]).copy()
+        b_out[2] = 1e30
+        forced = dict(packed)
+        forced["b_out"] = jnp.asarray(b_out)
+        got = pallas_full_greedy_decode(
+            forced, memory[:, 0, :], 20, 1, 2, 0, interpret=True, early_exit=True
+        )
+        arr = np.asarray(got)
+        assert (arr[:, 0] == 2).all()  # END first step
+        assert (arr[:, 1:] == 0).all()  # PAD tail

@@ -177,3 +177,22 @@ class TestHTTPServer:
 
         args = build_parser().parse_args(["serve", "ckpt", "--port", "0"])
         assert callable(args.func) and args.port == 0
+
+
+class TestLatencyPercentiles:
+    def test_percentiles_from_recent_window(self):
+        from img2latex_tpu.serving import ServerStats
+
+        s = ServerStats()
+        assert s.latency_percentiles_ms() == {"p50": 0.0, "p95": 0.0, "p99": 0.0}
+        for ms in range(1, 101):  # 1..100 ms
+            s.record_latency(ms / 1e3)
+        p = s.latency_percentiles_ms()
+        assert 45 <= p["p50"] <= 55
+        assert 90 <= p["p95"] <= 100
+        assert p["p99"] >= p["p95"] >= p["p50"]
+        # ring caps memory
+        s.recent_cap = 10
+        for ms in range(50):
+            s.record_latency(0.001)
+        assert len(s.recent_latencies) <= 10
