@@ -3,7 +3,9 @@
 The driver's official metric is greedy (``bench.py``); this script measures
 the batched on-device beam path (the reference has no working beam at all —
 its CLI clamps beam off, ``predictor.py:163-167``, and the model-level beam is
-a B=1 host loop).  Usage: ``python bench_beam.py [batch] [beam_size]``.
+a B=1 host loop).  On TPU the default path is the fused whole-beam-decode
+Pallas kernel (``ops/pallas/beam_decode.py``); ``--scan`` forces the XLA
+scan path for A/B.  Usage: ``python bench_beam.py [batch] [beam_size] [--scan]``.
 """
 
 from __future__ import annotations
@@ -34,8 +36,10 @@ def main() -> None:
     from img2latex_tpu.models.seq2seq import Seq2SeqModel, build_model
     from img2latex_tpu.ops.preprocess import normalize_images
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    K = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    force_scan = "--scan" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    B = int(args[0]) if args else 512
+    K = int(args[1]) if len(args) > 1 else 5
 
     cfg = Config()
     cfg.model.embedding_dim = EMBED
@@ -55,10 +59,20 @@ def main() -> None:
     )
     dcfg = DecodeConfig(max_length=MAX_LEN, start_id=1, end_id=2, pad_id=0, beam_size=K)
     dt = jnp.bfloat16
+    use_kernel = jax.default_backend() in ("tpu", "axon") and not force_scan
+    packed = None
+    if use_kernel:
+        from img2latex_tpu.ops.pallas.beam_decode import pallas_full_beam_decode
+        from img2latex_tpu.ops.pallas.decode_step import pack_decoder_weights
+
+        packed = pack_decoder_weights(params, VOCAB, dt)
 
     def decode(params, images_u8):
         x = normalize_images(images_u8, compute_dtype=dt)
         memory = model.apply(params, x, method=Seq2SeqModel.encode)
+        if use_kernel:
+            tokens, _ = pallas_full_beam_decode(packed, memory[:, 0, :], K, dcfg)
+            return tokens
         mem_exp = jnp.repeat(memory, K, axis=0)
 
         def step_fn(tokens, carry):

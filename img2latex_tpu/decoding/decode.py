@@ -292,9 +292,21 @@ def beam_decode(
     (_, _, final_scores, final_finished), (tok_seq, beam_seq) = jax.lax.scan(
         scan_step, (start, carry0, scores0, finished0), None, length=cfg.max_length
     )
-    # tok_seq/beam_seq: (T, B, K).  Backtrack the beam ancestry to recover the
-    # token sequence of each surviving beam.
-    T = cfg.max_length
+    return backtrack_and_select(tok_seq, beam_seq, final_scores, batch_size, K, cfg)
+
+
+def backtrack_and_select(
+    tok_seq: jnp.ndarray,  # (T, B, K)
+    beam_seq: jnp.ndarray,  # (T, B, K)
+    final_scores: jnp.ndarray,  # (B, K)
+    batch_size: int,
+    K: int,
+    cfg: DecodeConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Backtrack the beam ancestry to the per-beam token sequences, apply the
+    length penalty, and return the best beam per sample ((B, T), (B,)).
+    Shared by the lax.scan beam and the fused Pallas beam kernel."""
+    T = tok_seq.shape[0]
 
     def backtrack(carry_beam, t):
         # carry_beam: (B, K) current beam index at step t+1's perspective

@@ -1,0 +1,292 @@
+"""Whole-beam-decode in ONE Pallas TPU kernel.
+
+The scan-based beam path (``decoding.decode.beam_decode``) re-reads the
+decoder weights from HBM on every one of ``max_length`` steps and pays XLA
+scan bookkeeping per step; beam throughput trails greedy 3.7x (STATUS r1).
+This kernel keeps the weights VMEM-resident across ALL steps (the same trick
+as :func:`ops.pallas.decode_step.pallas_full_greedy_decode`) and runs the
+beam bookkeeping — K·V top-k, beam-ancestry bookkeeping, carry gathers — on
+the VPU in-kernel:
+
+* rows are **beam-major**: row ``k*Bt + s`` is beam k of sample s, so every
+  per-sample reduction over beams is a sublane-axis op on a ``(K, Bt)``
+  view, and the K-way carry gather is K^2 masked adds (K is tiny);
+* top-k over the ``(K, Vp)`` score matrix per sample is K iterative
+  (argmax, mask) passes — the same tie-breaking as ``lax.top_k``/
+  ``topk_iterative`` (lowest flat index wins), which the oracle tests pin;
+* END-absorption matches ``beam_decode`` exactly: finished beams emit PAD
+  with additive score 0 and everything else ``-1e30``;
+* the kernel emits the per-step (token, parent) history; ancestry
+  backtracking + length penalty + best-beam selection reuse
+  ``decoding.decode.backtrack_and_select`` (shared with the scan path).
+
+Semantics parity with ``beam_decode`` (reference beam:
+``/root/reference/img2latex/model/seq2seq.py:234-298``) is asserted in
+interpret mode by tests/test_pallas_beam.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from img2latex_tpu.ops.pallas.decode_step import _round_up
+
+NEG = -1e30
+
+
+def _beam_kernel(
+    num_layers: int,
+    K: int,
+    max_length: int,
+    start_id: int,
+    end_id: int,
+    pad_id: int,
+    early_exit: bool,
+    *refs,
+):
+    """refs: [ctx (Bt,E)] [emb (Vp,E)] [w_ih_i w_hh_i b_i]*L [w_out] [b_out (1,Vp)]
+    -> out [tok_seq (T, K*Bt) i32] [beam_seq (T, K*Bt) i32] [scores (K, Bt) f32]
+    scratch: h (L, K*Bt, H), c (L, K*Bt, H)
+    """
+    ctx_ref = refs[0]
+    emb_ref = refs[1]
+    idx = 2
+    layer_refs = []
+    for _ in range(num_layers):
+        layer_refs.append((refs[idx], refs[idx + 1], refs[idx + 2]))
+        idx += 3
+    w_out_ref, b_out_ref = refs[idx], refs[idx + 1]
+    tok_ref, beam_ref, scores_ref = refs[idx + 2], refs[idx + 3], refs[idx + 4]
+    h_ref, c_ref = refs[idx + 5], refs[idx + 6]
+
+    Bt = ctx_ref.shape[0]
+    KB = K * Bt
+    Vp = emb_ref.shape[0]
+    dtype = emb_ref.dtype
+
+    h_ref[...] = jnp.zeros_like(h_ref)
+    c_ref[...] = jnp.zeros_like(c_ref)
+    # ctx per row (beam-major: each beam of a sample shares the context).
+    ctx = jnp.broadcast_to(ctx_ref[:][None], (K, Bt, ctx_ref.shape[1])).reshape(
+        KB, ctx_ref.shape[1]
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (KB, Vp), 1)
+    pad_row = jnp.where(lane == pad_id, jnp.float32(0.0), jnp.float32(NEG))  # (KB, Vp)
+
+    def body(t, state):
+        tokens, scores, fin = state  # (KB,1) i32, (K,Bt) f32, (K,Bt) i32
+        onehot = (lane == tokens).astype(dtype)
+        emb = jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
+        x = jnp.concatenate([emb.astype(dtype), ctx], axis=-1)
+        for layer, (w_ih_ref, w_hh_ref, b_ref) in enumerate(layer_refs):
+            gates = (
+                jnp.dot(x, w_ih_ref[:], preferred_element_type=jnp.float32)
+                + jnp.dot(h_ref[layer], w_hh_ref[:], preferred_element_type=jnp.float32)
+                + b_ref[:]
+            )
+            i_g, f_g, g_g, o_g = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f_g) * c_ref[layer].astype(jnp.float32) + jax.nn.sigmoid(
+                i_g
+            ) * jnp.tanh(g_g)
+            h_new = jax.nn.sigmoid(o_g) * jnp.tanh(c_new)
+            h_ref[layer] = h_new.astype(dtype)
+            c_ref[layer] = c_new.astype(dtype)
+            x = h_new.astype(dtype)
+        logits = jnp.dot(x, w_out_ref[:], preferred_element_type=jnp.float32) + b_out_ref[:]
+        # log-softmax over lanes; padded lanes carry the -1e30 bias, so they
+        # contribute 0 mass and stay unselectable — identical to softmaxing
+        # over the true V columns.
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        logp = logits - (jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True)) + m)
+        # Finished beams: PAD continues at +0, everything else -1e30.
+        fin_rows = fin.reshape(KB, 1)
+        logp = jnp.where(fin_rows > 0, pad_row, logp)
+        total = scores.reshape(KB, 1) + logp  # (KB, Vp)
+
+        # --- top-K over (K, Vp) per sample: K iterative argmax passes ----
+        cur = total
+        sc_parts: List[jnp.ndarray] = []
+        beam_parts: List[jnp.ndarray] = []
+        tok_parts: List[jnp.ndarray] = []
+        for _n in range(K):
+            row_max = jnp.max(cur, axis=-1, keepdims=True)  # (KB, 1)
+            row_arg = jnp.argmax(cur, axis=-1).astype(jnp.int32)[:, None]  # (KB, 1)
+            rm = row_max.reshape(K, Bt)
+            ra = row_arg.reshape(K, Bt)
+            beam_n = jnp.argmax(rm, axis=0, keepdims=True).astype(jnp.int32)  # (1, Bt)
+            score_n = jnp.max(rm, axis=0, keepdims=True)  # (1, Bt)
+            beam_oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (K, Bt), 0) == beam_n
+            )  # (K, Bt)
+            tok_n = jnp.sum(jnp.where(beam_oh, ra, 0), axis=0, keepdims=True)  # (1, Bt)
+            sc_parts.append(score_n)
+            beam_parts.append(beam_n)
+            tok_parts.append(tok_n)
+            # mask the winner element so the next pass picks the runner-up
+            row_sel = beam_oh.reshape(KB, 1)
+            tok_rows = jnp.broadcast_to(tok_n, (K, Bt)).reshape(KB, 1)
+            cur = jnp.where(jnp.logical_and(row_sel, lane == tok_rows), jnp.float32(NEG), cur)
+        new_scores = jnp.concatenate(sc_parts, axis=0)  # (K, Bt)
+        beam_idx = jnp.concatenate(beam_parts, axis=0)  # (K, Bt) i32
+        token_idx = jnp.concatenate(tok_parts, axis=0)  # (K, Bt) i32
+
+        # --- gather carries + finished by parent beam (K^2 masked adds) ---
+        fin_g_parts = []
+        for n in range(K):
+            sel_row = beam_idx[n : n + 1]  # (1, Bt)
+            fin_n = jnp.zeros((1, Bt), jnp.int32)
+            for k in range(K):
+                fin_n = fin_n + jnp.where(sel_row == k, fin[k : k + 1], 0)
+            fin_g_parts.append(fin_n)
+        fin_gathered = jnp.concatenate(fin_g_parts, axis=0)  # (K, Bt)
+        fin_new = jnp.maximum(fin_gathered, (token_idx == end_id).astype(jnp.int32))
+
+        for layer in range(num_layers):
+            h_l = h_ref[layer]  # (KB, H)
+            c_l = c_ref[layer]
+            h_parts = []
+            c_parts = []
+            for n in range(K):
+                sel_col = beam_idx[n : n + 1].reshape(Bt, 1)  # (Bt, 1)
+                h_n = jnp.zeros_like(h_l[:Bt])
+                c_n = jnp.zeros_like(c_l[:Bt])
+                for k in range(K):
+                    m_k = sel_col == k
+                    h_n = jnp.where(m_k, h_l[k * Bt : (k + 1) * Bt], h_n)
+                    c_n = jnp.where(m_k, c_l[k * Bt : (k + 1) * Bt], c_n)
+                h_parts.append(h_n)
+                c_parts.append(c_n)
+            h_ref[layer] = jnp.concatenate(h_parts, axis=0)
+            c_ref[layer] = jnp.concatenate(c_parts, axis=0)
+
+        tok_ref[pl.ds(t, 1), :] = token_idx.reshape(1, KB)
+        beam_ref[pl.ds(t, 1), :] = beam_idx.reshape(1, KB)
+        return token_idx.reshape(KB, 1), new_scores, fin_new
+
+    tokens0 = jnp.full((KB, 1), start_id, jnp.int32)
+    # Only beam 0 live at t=0 (rows 0..Bt) so the first expansion picks K
+    # distinct tokens — matches beam_decode's scores0.
+    scores0 = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (K, Bt), 0) == 0,
+        jnp.float32(0.0),
+        jnp.float32(NEG),
+    )
+    fin0 = jnp.zeros((K, Bt), jnp.int32)
+    if early_exit:
+        # Pre-fill the skipped tail: PAD tokens + identity parents (exactly
+        # what the full-length loop emits once every beam is finished — the
+        # frozen scores are already sorted, so top-k returns the identity).
+        tok_ref[...] = jnp.full_like(tok_ref, pad_id)
+        beam_ref[...] = jnp.broadcast_to(
+            (
+                jax.lax.broadcasted_iota(jnp.int32, (K, Bt), 0).reshape(1, KB)
+            ),
+            beam_ref.shape,
+        )
+
+        def w_cond(state):
+            t, st = state
+            return jnp.logical_and(t < max_length, jnp.sum(st[2]) < K * Bt)
+
+        def w_body(state):
+            t, st = state
+            return t + 1, body(t, st)
+
+        _, (_, final_scores, _) = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), (tokens0, scores0, fin0))
+        )
+    else:
+        _, final_scores, _ = jax.lax.fori_loop(
+            0, max_length, body, (tokens0, scores0, fin0)
+        )
+    scores_ref[...] = final_scores
+
+
+def pallas_full_beam_decode(
+    packed: Dict[str, Any],
+    context: jnp.ndarray,  # (B, E)
+    beam_size: int,
+    cfg,  # DecodeConfig
+    interpret: bool = False,
+    batch_tile: int = 0,
+    early_exit: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused beam search: returns (best tokens (B, T), best scores (B,)).
+
+    Tiling mirrors the greedy whole-decode kernel: tiles of ``batch_tile``
+    samples (default sized so K*Bt ~ 256 rows) map at the XLA level; each
+    tile pays one weight DMA and runs all steps from VMEM.
+    """
+    from img2latex_tpu.decoding.decode import backtrack_and_select
+
+    B, E = context.shape
+    K = int(beam_size)
+    L = int(packed["num_layers"])
+    H = int(packed["hidden_dim"])
+    T = int(cfg.max_length)
+    dtype = packed["emb"].dtype
+    if batch_tile <= 0:
+        batch_tile = max(8, 256 // K)
+
+    kernel = functools.partial(
+        _beam_kernel, L, K, T, cfg.start_id, cfg.end_id, cfg.pad_id, early_exit
+    )
+    weight_args: List[jnp.ndarray] = [packed["emb"]]
+    for i in range(L):
+        weight_args += [
+            packed[f"w_ih_{i}"],
+            packed[f"w_hh_{i}"],
+            packed[f"b_{i}"].reshape(1, -1),
+        ]
+    weight_args += [packed["w_out"], packed["b_out"].reshape(1, -1)]
+    n_inputs = 1 + len(weight_args)
+
+    def one_tile(ctx_tile: jnp.ndarray):
+        Bt = ctx_tile.shape[0]
+        KB = K * Bt
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((T, KB), jnp.int32),
+                jax.ShapeDtypeStruct((T, KB), jnp.int32),
+                jax.ShapeDtypeStruct((K, Bt), jnp.float32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_inputs,
+            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3)),
+            scratch_shapes=[
+                pltpu.VMEM((L, KB, H), dtype),
+                pltpu.VMEM((L, KB, H), dtype),
+            ],
+            interpret=interpret,
+        )(ctx_tile, *weight_args)
+
+    ctx = context.astype(dtype)
+    Bp = _round_up(B, batch_tile)
+    if Bp != B:
+        ctx = jnp.pad(ctx, ((0, Bp - B), (0, 0)))
+    nc = Bp // batch_tile
+    if nc == 1:
+        tok_kb, beam_kb, scores_kb = one_tile(ctx)
+        tok_kb, beam_kb, scores_kb = tok_kb[None], beam_kb[None], scores_kb[None]
+    else:
+        tok_kb, beam_kb, scores_kb = jax.lax.map(
+            one_tile, ctx.reshape(nc, batch_tile, E)
+        )  # (nc, T, K*Bt), (nc, T, K*Bt), (nc, K, Bt)
+
+    Bt = batch_tile
+    # (nc, T, K, Bt) -> (T, nc, Bt, K) -> (T, Bp, K)
+    tok_seq = (
+        tok_kb.reshape(nc, T, K, Bt).transpose(1, 0, 3, 2).reshape(T, Bp, K)
+    )
+    beam_seq = (
+        beam_kb.reshape(nc, T, K, Bt).transpose(1, 0, 3, 2).reshape(T, Bp, K)
+    )
+    final_scores = scores_kb.transpose(0, 2, 1).reshape(Bp, K)
+    tokens, scores = backtrack_and_select(tok_seq, beam_seq, final_scores, Bp, K, cfg)
+    return tokens[:B], scores[:B]

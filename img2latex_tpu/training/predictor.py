@@ -230,14 +230,57 @@ class Predictor:
 
         # Fused-Pallas greedy fast path (hardware.use_pallas_decode): vector
         # memory + pure argmax only; other strategies use the scan path.
-        use_pallas = (
+        use_pallas_family = (
             self.cfg.hardware.use_pallas_decode
-            and dcfg.beam_size == 0
             and not dcfg.sampling
             and getattr(self.cfg.model, "memory", "vector") == "vector"
             # TPU-only (Mosaic kernel); "axon" = tunneled-TPU plugin backend.
             and jax.default_backend() in ("tpu", "axon")
         )
+        use_pallas = use_pallas_family and dcfg.beam_size == 0
+        use_pallas_beam = use_pallas_family and dcfg.beam_size > 0
+
+        if use_pallas_beam:
+            from img2latex_tpu.ops.pallas.beam_decode import pallas_full_beam_decode
+            from img2latex_tpu.ops.pallas.decode_step import pack_decoder_weights
+
+            packed = pack_decoder_weights(self._variables(), self.tokenizer.vocab_size, dtype)
+
+            def beam_kernel_path(pk, memory_vec):
+                # Whole-beam-decode in one kernel: weights VMEM-resident
+                # across all steps; in-kernel K*V top-k + carry gathers.
+                tokens, _scores = pallas_full_beam_decode(
+                    pk, memory_vec, dcfg.beam_size, dcfg, early_exit=dcfg.early_exit
+                )
+                return tokens
+
+            if mesh is None:
+
+                @jax.jit
+                def run_beam(images_u8, rng):
+                    memory = encode_fn(variables, images_u8)
+                    return beam_kernel_path(packed, memory[:, 0, :])
+
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                local = jax.shard_map(
+                    beam_kernel_path,
+                    mesh=mesh,
+                    in_specs=(P(), P("data")),
+                    out_specs=P("data"),
+                    check_vma=False,
+                )
+                data_sh = NamedSharding(mesh, P("data"))
+
+                @partial(jax.jit, in_shardings=(data_sh, None), out_shardings=data_sh)
+                def run_beam(images_u8, rng):
+                    memory = encode_fn(variables, images_u8)
+                    return local(packed, memory[:, 0, :])
+
+            self._jit_cache[key] = run_beam
+            return run_beam
+
         if use_pallas:
             from img2latex_tpu.ops.pallas.decode_step import (
                 pack_decoder_weights,
