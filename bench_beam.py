@@ -40,6 +40,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     B = int(args[0]) if args else 512
     K = int(args[1]) if len(args) > 1 else 5
+    TILE = int(args[2]) if len(args) > 2 else 0  # 0 = kernel default
 
     cfg = Config()
     cfg.model.embedding_dim = EMBED
@@ -71,7 +72,9 @@ def main() -> None:
         x = normalize_images(images_u8, compute_dtype=dt)
         memory = model.apply(params, x, method=Seq2SeqModel.encode)
         if use_kernel:
-            tokens, _ = pallas_full_beam_decode(packed, memory[:, 0, :], K, dcfg)
+            tokens, _ = pallas_full_beam_decode(
+                packed, memory[:, 0, :], K, dcfg, batch_tile=TILE
+            )
             return tokens
         mem_exp = jnp.repeat(memory, K, axis=0)
 

@@ -8,12 +8,18 @@ as :func:`ops.pallas.decode_step.pallas_full_greedy_decode`) and runs the
 beam bookkeeping — K·V top-k, beam-ancestry bookkeeping, carry gathers — on
 the VPU in-kernel:
 
-* rows are **beam-major**: row ``k*Bt + s`` is beam k of sample s, so every
-  per-sample reduction over beams is a sublane-axis op on a ``(K, Bt)``
-  view, and the K-way carry gather is K^2 masked adds (K is tiny);
+* rows are **beam-major**: row ``k*Bt + s`` is beam k of sample s.  Every
+  per-row array stays in ``(K*Bt, 1)`` sublane form — Mosaic rejects
+  general 2D shape casts like ``(K, Bt) -> (K*Bt, 1)`` ("unsupported shape
+  cast"), so per-sample reductions over beams use **sublane rolls**
+  instead: rolling by ``i*Bt`` maps row ``k*Bt+s`` to ``((k+i)%K)*Bt+s`` —
+  the same sample, a different beam — so ``op`` over the K rolls is the
+  per-sample beam reduction, broadcast back to every row for free;
 * top-k over the ``(K, Vp)`` score matrix per sample is K iterative
   (argmax, mask) passes — the same tie-breaking as ``lax.top_k``/
   ``topk_iterative`` (lowest flat index wins), which the oracle tests pin;
+* the beam-ancestry carry gather is K rolls of the (K*Bt, H) carry plus
+  per-row delta masks (``delta = (parent - beam) mod K``);
 * END-absorption matches ``beam_decode`` exactly: finished beams emit PAD
   with additive score 0 and everything else ``-1e30``;
 * the kernel emits the per-step (token, parent) history; ancestry
@@ -78,9 +84,19 @@ def _beam_kernel(
     )
     lane = jax.lax.broadcasted_iota(jnp.int32, (KB, Vp), 1)
     pad_row = jnp.where(lane == pad_id, jnp.float32(0.0), jnp.float32(NEG))  # (KB, Vp)
+    # row r = k*Bt + s -> beam index k, in sublane form.
+    row_beam = jax.lax.broadcasted_iota(jnp.int32, (KB, 1), 0) // Bt
+
+    def group_reduce(x, op):
+        """Per-sample reduction over the K beams, broadcast to every row:
+        rolling by i*Bt maps row k*Bt+s -> ((k+i)%K)*Bt+s (same sample)."""
+        acc = x
+        for i in range(1, K):
+            acc = op(acc, pltpu.roll(x, (KB - i * Bt) % KB, 0))
+        return acc
 
     def body(t, state):
-        tokens, scores, fin = state  # (KB,1) i32, (K,Bt) f32, (K,Bt) i32
+        tokens, scores, fin = state  # all (KB, 1): i32, f32, i32
         onehot = (lane == tokens).astype(dtype)
         emb = jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
         x = jnp.concatenate([emb.astype(dtype), ctx], axis=-1)
@@ -105,90 +121,88 @@ def _beam_kernel(
         m = jnp.max(logits, axis=-1, keepdims=True)
         logp = logits - (jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True)) + m)
         # Finished beams: PAD continues at +0, everything else -1e30.
-        fin_rows = fin.reshape(KB, 1)
-        logp = jnp.where(fin_rows > 0, pad_row, logp)
-        total = scores.reshape(KB, 1) + logp  # (KB, Vp)
+        logp = jnp.where(fin > 0, pad_row, logp)
+        total = scores + logp  # (KB, Vp)
 
-        # --- top-K over (K, Vp) per sample: K iterative argmax passes ----
+        # --- top-K over (K beams x Vp lanes) per sample -------------------
+        # K iterative passes; every per-pass quantity is a (KB, 1) per-row
+        # broadcast of its sample's value.
         cur = total
-        sc_parts: List[jnp.ndarray] = []
-        beam_parts: List[jnp.ndarray] = []
-        tok_parts: List[jnp.ndarray] = []
+        parents: List[jnp.ndarray] = []
+        toks: List[jnp.ndarray] = []
+        scs: List[jnp.ndarray] = []
         for _n in range(K):
             row_max = jnp.max(cur, axis=-1, keepdims=True)  # (KB, 1)
-            row_arg = jnp.argmax(cur, axis=-1).astype(jnp.int32)[:, None]  # (KB, 1)
-            rm = row_max.reshape(K, Bt)
-            ra = row_arg.reshape(K, Bt)
-            beam_n = jnp.argmax(rm, axis=0, keepdims=True).astype(jnp.int32)  # (1, Bt)
-            score_n = jnp.max(rm, axis=0, keepdims=True)  # (1, Bt)
-            beam_oh = (
-                jax.lax.broadcasted_iota(jnp.int32, (K, Bt), 0) == beam_n
-            )  # (K, Bt)
-            tok_n = jnp.sum(jnp.where(beam_oh, ra, 0), axis=0, keepdims=True)  # (1, Bt)
-            sc_parts.append(score_n)
-            beam_parts.append(beam_n)
-            tok_parts.append(tok_n)
+            row_arg = jnp.argmax(cur, axis=-1, keepdims=True).astype(jnp.int32)
+            m_all = group_reduce(row_max, jnp.maximum)  # group max, per row
+            # winner beam: lowest beam index attaining the max (= lax.top_k's
+            # lowest-flat-index tie rule)
+            cand = jnp.where(row_max == m_all, row_beam, jnp.int32(K))
+            win_beam = group_reduce(cand, jnp.minimum)
+            # the winner's token: only the winner beam's row holds it
+            tok_cand = jnp.where(row_beam == win_beam, row_arg, jnp.int32(0))
+            win_tok = group_reduce(tok_cand, jnp.maximum)
+            parents.append(win_beam)
+            toks.append(win_tok)
+            scs.append(m_all)
             # mask the winner element so the next pass picks the runner-up
-            row_sel = beam_oh.reshape(KB, 1)
-            tok_rows = jnp.broadcast_to(tok_n, (K, Bt)).reshape(KB, 1)
-            cur = jnp.where(jnp.logical_and(row_sel, lane == tok_rows), jnp.float32(NEG), cur)
-        new_scores = jnp.concatenate(sc_parts, axis=0)  # (K, Bt)
-        beam_idx = jnp.concatenate(beam_parts, axis=0)  # (K, Bt) i32
-        token_idx = jnp.concatenate(tok_parts, axis=0)  # (K, Bt) i32
+            cur = jnp.where(
+                jnp.logical_and(row_beam == win_beam, lane == win_tok),
+                jnp.float32(NEG),
+                cur,
+            )
 
-        # --- gather carries + finished by parent beam (K^2 masked adds) ---
-        fin_g_parts = []
+        # combine the K passes into per-row NEW beam values (row r belongs
+        # to new beam row_beam[r])
+        new_tok = jnp.zeros((KB, 1), jnp.int32)
+        new_parent = jnp.zeros((KB, 1), jnp.int32)
+        new_score = jnp.zeros((KB, 1), jnp.float32)
         for n in range(K):
-            sel_row = beam_idx[n : n + 1]  # (1, Bt)
-            fin_n = jnp.zeros((1, Bt), jnp.int32)
-            for k in range(K):
-                fin_n = fin_n + jnp.where(sel_row == k, fin[k : k + 1], 0)
-            fin_g_parts.append(fin_n)
-        fin_gathered = jnp.concatenate(fin_g_parts, axis=0)  # (K, Bt)
-        fin_new = jnp.maximum(fin_gathered, (token_idx == end_id).astype(jnp.int32))
+            sel = row_beam == n
+            new_tok = jnp.where(sel, toks[n], new_tok)
+            new_parent = jnp.where(sel, parents[n], new_parent)
+            new_score = jnp.where(sel, scs[n], new_score)
 
+        # --- gather carries + finished by parent beam -------------------
+        # finished: K rolls + masks on a 1-lane vector (trivial).
+        delta = jnp.remainder(new_parent - row_beam, jnp.int32(K))  # (KB, 1)
+        fin_gathered = jnp.zeros((KB, 1), jnp.int32)
+        for i in range(K):
+            rolled = fin if i == 0 else pltpu.roll(fin, (KB - i * Bt) % KB, 0)
+            fin_gathered = jnp.where(delta == i, rolled, fin_gathered)
+        fin_new = jnp.maximum(fin_gathered, (new_tok == end_id).astype(jnp.int32))
+
+        # carries: one-hot MXU matmul gather — P[r, q] = (q == parent row of
+        # r); P @ h selects exactly one row per output row (exact, and far
+        # cheaper than K VPU rolls of the (KB, H) carries: (KB x KB x H)
+        # MACs ride the MXU).
+        row_pos = jax.lax.broadcasted_iota(jnp.int32, (KB, 1), 0) - row_beam * Bt
+        parent_flat = new_parent * Bt + row_pos  # (KB, 1)
+        colq = jax.lax.broadcasted_iota(jnp.int32, (KB, KB), 1)
+        P = (colq == parent_flat).astype(dtype)  # (KB, KB)
         for layer in range(num_layers):
-            h_l = h_ref[layer]  # (KB, H)
-            c_l = c_ref[layer]
-            h_parts = []
-            c_parts = []
-            for n in range(K):
-                sel_col = beam_idx[n : n + 1].reshape(Bt, 1)  # (Bt, 1)
-                h_n = jnp.zeros_like(h_l[:Bt])
-                c_n = jnp.zeros_like(c_l[:Bt])
-                for k in range(K):
-                    m_k = sel_col == k
-                    h_n = jnp.where(m_k, h_l[k * Bt : (k + 1) * Bt], h_n)
-                    c_n = jnp.where(m_k, c_l[k * Bt : (k + 1) * Bt], c_n)
-                h_parts.append(h_n)
-                c_parts.append(c_n)
-            h_ref[layer] = jnp.concatenate(h_parts, axis=0)
-            c_ref[layer] = jnp.concatenate(c_parts, axis=0)
+            h_ref[layer] = jnp.dot(
+                P, h_ref[layer], preferred_element_type=jnp.float32
+            ).astype(dtype)
+            c_ref[layer] = jnp.dot(
+                P, c_ref[layer], preferred_element_type=jnp.float32
+            ).astype(dtype)
 
-        tok_ref[pl.ds(t, 1), :] = token_idx.reshape(1, KB)
-        beam_ref[pl.ds(t, 1), :] = beam_idx.reshape(1, KB)
-        return token_idx.reshape(KB, 1), new_scores, fin_new
+        tok_ref[pl.ds(t, 1), :] = new_tok.reshape(1, KB)
+        beam_ref[pl.ds(t, 1), :] = new_parent.reshape(1, KB)
+        return new_tok, new_score, fin_new
 
     tokens0 = jnp.full((KB, 1), start_id, jnp.int32)
     # Only beam 0 live at t=0 (rows 0..Bt) so the first expansion picks K
     # distinct tokens — matches beam_decode's scores0.
-    scores0 = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (K, Bt), 0) == 0,
-        jnp.float32(0.0),
-        jnp.float32(NEG),
-    )
-    fin0 = jnp.zeros((K, Bt), jnp.int32)
+    scores0 = jnp.where(row_beam == 0, jnp.float32(0.0), jnp.float32(NEG))
+    fin0 = jnp.zeros((KB, 1), jnp.int32)
     if early_exit:
         # Pre-fill the skipped tail: PAD tokens + identity parents (exactly
         # what the full-length loop emits once every beam is finished — the
         # frozen scores are already sorted, so top-k returns the identity).
         tok_ref[...] = jnp.full_like(tok_ref, pad_id)
-        beam_ref[...] = jnp.broadcast_to(
-            (
-                jax.lax.broadcasted_iota(jnp.int32, (K, Bt), 0).reshape(1, KB)
-            ),
-            beam_ref.shape,
-        )
+        beam_ref[...] = jnp.broadcast_to(row_beam.reshape(1, KB), beam_ref.shape)
 
         def w_cond(state):
             t, st = state
@@ -255,7 +269,7 @@ def pallas_full_beam_decode(
             out_shape=(
                 jax.ShapeDtypeStruct((T, KB), jnp.int32),
                 jax.ShapeDtypeStruct((T, KB), jnp.int32),
-                jax.ShapeDtypeStruct((K, Bt), jnp.float32),
+                jax.ShapeDtypeStruct((KB, 1), jnp.float32),
             ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_inputs,
             out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3)),
@@ -277,7 +291,7 @@ def pallas_full_beam_decode(
     else:
         tok_kb, beam_kb, scores_kb = jax.lax.map(
             one_tile, ctx.reshape(nc, batch_tile, E)
-        )  # (nc, T, K*Bt), (nc, T, K*Bt), (nc, K, Bt)
+        )  # (nc, T, K*Bt), (nc, T, K*Bt), (nc, K*Bt, 1)
 
     Bt = batch_tile
     # (nc, T, K, Bt) -> (T, nc, Bt, K) -> (T, Bp, K)
@@ -287,6 +301,8 @@ def pallas_full_beam_decode(
     beam_seq = (
         beam_kb.reshape(nc, T, K, Bt).transpose(1, 0, 3, 2).reshape(T, Bp, K)
     )
-    final_scores = scores_kb.transpose(0, 2, 1).reshape(Bp, K)
+    final_scores = (
+        scores_kb.reshape(nc, K, Bt).transpose(0, 2, 1).reshape(Bp, K)
+    )
     tokens, scores = backtrack_and_select(tok_seq, beam_seq, final_scores, Bp, K, cfg)
     return tokens[:B], scores[:B]
