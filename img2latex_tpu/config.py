@@ -254,6 +254,10 @@ class HardwareConfig:
     # docstring).  Off by default; TPU-only when on; same param tree;
     # custom VJP makes it training-safe.
     pallas_conv1: bool = False
+    # Whole conv stack channel-first (conv1_phase + conv_cf kernels) with a
+    # layout-absorbing Dense head — no NCHW->NHWC relayout anywhere.  Off by
+    # default (training uses XLA); inference/bench enable it.
+    pallas_chain: bool = False
 
 
 @dataclass

@@ -56,6 +56,15 @@ class CNNEncoder(nn.Module):
     # training-safe (custom VJP).  "interpret" forces the kernel in Pallas
     # interpret mode on any backend (tests).
     pallas_conv1: Any = False  # False | True | "interpret"
+    # Channel-first Pallas fast path for the WHOLE conv stack: block 1 via
+    # conv1_phase (nchw out), blocks 2..n via ops/pallas/conv_cf.py, then a
+    # head whose Dense weights are reshaped from (h,w,c)-major to
+    # (c,h,w)-major rows — so the NCHW->NHWC relayout that capped
+    # pallas_conv1 at 1.06x (its docstring autopsy) never happens.  Exact
+    # same parameter tree and math as the XLA path (weight permutation is a
+    # transpose of the packed matrix).  TPU-only when on; "interpret" for
+    # tests; training-safe (custom VJPs per block).
+    pallas_chain: Any = False  # False | True | "interpret"
 
     @nn.compact
     def __call__(
@@ -78,6 +87,19 @@ class CNNEncoder(nn.Module):
         if from_features is not None:
             return self._head(from_features)
         x = x.astype(self.dtype)
+        n_blocks = len(self.conv_filters)
+        chain_interp = self.pallas_chain == "interpret"
+        if (
+            self.pallas_chain
+            and not features_only
+            and x.shape[-1] == 1
+            and self.kernel_size == 3
+            and self.pool_size == 2
+            and x.shape[1] % (2**n_blocks) == 0
+            and x.shape[2] % (2**n_blocks) == 0
+            and (chain_interp or jax.default_backend() in ("tpu", "axon"))
+        ):
+            return self._chain_path(x, chain_interp)
         fuse = self.fused_pool and self.kernel_size == 3 and self.pool_size == 2
         for block_idx, filters in enumerate(self.conv_filters):
             interpret = self.pallas_conv1 == "interpret"
@@ -146,6 +168,56 @@ class CNNEncoder(nn.Module):
         if features_only:
             return x
         return self._head(x)
+
+    def _chain_path(self, x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+        """Channel-first conv stack + layout-absorbing head.
+
+        Registers the exact same modules (Conv_0..Conv_{n-1}, Dense_0) as
+        the XLA path via dummy calls, then computes with the Pallas kernels
+        on NCHW throughout.  The head consumes the NCHW feature order by
+        reindexing the Dense kernel (a transpose of the packed weights) —
+        output is bit-identical in f32 up to matmul reassociation.
+        """
+        from img2latex_tpu.ops.pallas.conv1_phase import conv1_pool
+        from img2latex_tpu.ops.pallas.conv_cf import convblock_cf
+
+        cin = 1
+        for block_idx, filters in enumerate(self.conv_filters):
+            conv = nn.Conv(
+                features=filters,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                padding="SAME",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )
+            _ = conv(jnp.zeros((1, 4, 4, cin), self.dtype))  # register; DCE'd
+            kernel = conv.variables["params"]["kernel"].astype(self.dtype)
+            bias = conv.variables["params"]["bias"]
+            if block_idx == 0:
+                x = conv1_pool(x, kernel, bias, interpret, "nchw")
+            else:
+                x = convblock_cf(x, kernel, bias, interpret)
+            cin = filters
+        B, C, H, W = x.shape
+        if self.output == "grid":
+            in_features = H * C
+        else:
+            in_features = H * W * C
+        dense = nn.Dense(self.embedding_dim, dtype=self.dtype, param_dtype=self.param_dtype)
+        _ = dense(jnp.zeros((1, in_features), self.dtype))  # register; DCE'd
+        kern = dense.variables["params"]["kernel"].astype(self.dtype)
+        dbias = dense.variables["params"]["bias"].astype(self.dtype)
+        if self.output == "grid":
+            # XLA-path rows are (h*C + c) per column; contract (c, h) directly.
+            k3 = kern.reshape(H, C, self.embedding_dim)
+            y = jnp.einsum("bchw,hce->bwe", x, k3)
+            return nn.relu(y + dbias)
+        # XLA-path rows are ((h*W + w)*C + c); reorder to (c, h, w)-major.
+        kperm = jnp.transpose(
+            kern.reshape(H, W, C, self.embedding_dim), (2, 0, 1, 3)
+        ).reshape(C * H * W, self.embedding_dim)
+        y = jnp.dot(x.reshape(B, C * H * W), kperm)
+        return nn.relu(y + dbias)
 
     def _head(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.output == "grid":

@@ -35,6 +35,7 @@ class Seq2SeqModel(nn.Module):
     pool_size: int = 2
     fused_conv_pool: bool = False  # HBM-saving conv+pool phase decomposition
     pallas_conv1: Any = False  # first-block Pallas kernel (hardware.pallas_conv1)
+    pallas_chain: Any = False  # whole-conv-stack channel-first path (hardware.pallas_chain)
     # ResNet encoder
     resnet_name: str = "resnet50"
     dtype: Any = jnp.float32
@@ -52,6 +53,7 @@ class Seq2SeqModel(nn.Module):
                 param_dtype=self.param_dtype,
                 fused_pool=self.fused_conv_pool,
                 pallas_conv1=self.pallas_conv1,
+                pallas_chain=self.pallas_chain,
             )
         elif self.model_type == "resnet_lstm":
             self.encoder = ResNetEncoder(
@@ -148,6 +150,7 @@ def build_model(cfg: Config, vocab_size: int) -> Seq2SeqModel:
         pool_size=cfg.model.encoder.cnn.pool_size,
         fused_conv_pool=cfg.hardware.fused_conv_pool,
         pallas_conv1=getattr(cfg.hardware, "pallas_conv1", False),
+        pallas_chain=getattr(cfg.hardware, "pallas_chain", False),
         resnet_name=cfg.model.encoder.resnet.model_name,
         dtype=dtype,
         param_dtype=param_dtype,

@@ -245,25 +245,40 @@ def _xla_conv1_pool(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> j
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def conv1_pool(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv1_pool(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    interpret: bool = False,
+    layout: str = "nhwc",
+):
     """Differentiable fused conv1+pool: Pallas forward, XLA-derived backward.
 
     Pallas kernels have no automatic VJP; the backward pass linearizes the
     algebraically-identical XLA composition at the same primals (recomputes
     the forward — training defaults to the pure-XLA path anyway, this exists
-    so the flag is safe to leave on everywhere).
+    so the flag is safe to leave on everywhere).  ``layout="nchw"`` keeps
+    the kernel's native channel-first output (the conv-chain fast path).
     """
-    return fused_conv1_pool(x, kernel, bias, interpret=interpret)
+    return fused_conv1_pool(x, kernel, bias, interpret=interpret, layout=layout)
 
 
-def _conv1_pool_fwd(x, kernel, bias, interpret):
-    return fused_conv1_pool(x, kernel, bias, interpret=interpret), (x, kernel, bias)
+def _conv1_pool_fwd(x, kernel, bias, interpret, layout):
+    return (
+        fused_conv1_pool(x, kernel, bias, interpret=interpret, layout=layout),
+        (x, kernel, bias),
+    )
 
 
-def _conv1_pool_bwd(interpret, res, g):
+def _conv1_pool_bwd(interpret, layout, res, g):
     x, kernel, bias = res
-    _, vjp = jax.vjp(_xla_conv1_pool, x, kernel, bias)
+    if layout == "nchw":
+        _, vjp = jax.vjp(
+            lambda *a: jnp.transpose(_xla_conv1_pool(*a), (0, 3, 1, 2)), x, kernel, bias
+        )
+    else:
+        _, vjp = jax.vjp(_xla_conv1_pool, x, kernel, bias)
     return vjp(g)
 
 

@@ -67,6 +67,7 @@ class Predictor:
         step: Optional[int] = None,
         batch_size: int = 16,
         use_pallas_conv1: Optional[bool] = None,
+        use_pallas_chain: Optional[bool] = None,
     ) -> "Predictor":
         """Rebuild config, tokenizer, model and weights from one checkpoint
         directory (the contract of reference ``predictor.py:61-137``)."""
@@ -93,6 +94,11 @@ class Predictor:
                 "default); enabling for inference — pass use_pallas_conv1="
                 "False to keep the pure-XLA encoder"
             )
+        # The whole-conv-stack channel-first path (hardware.pallas_chain)
+        # subsumes pallas_conv1 when it engages; opt-in here until its
+        # on-chip win is recorded (scripts/bench_encoder_chain.py).
+        if use_pallas_chain is not None:
+            cfg.hardware.pallas_chain = use_pallas_chain
         tokenizer = LaTeXTokenizer.from_config(meta["tokenizer_config"])
         model = build_model(cfg, tokenizer.vocab_size)
         params = state["params"]

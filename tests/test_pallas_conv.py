@@ -173,3 +173,76 @@ class TestConv1PhaseEncoderIntegration:
         a = fused_conv1_pool(x, k, b, interpret=True, layout="nhwc")
         c = fused_conv1_pool(x, k, b, interpret=True, layout="nhwc_kernel")
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+# ---------------------------------------------------------------------------
+# Channel-first conv chain (ops/pallas/conv_cf.py + encoder pallas_chain)
+# ---------------------------------------------------------------------------
+
+
+class TestConvChainCF:
+    @pytest.mark.parametrize(
+        "shape",
+        [
+            (3, 32, 64, 32, 400),   # conv2 at reference scale (Cin, Cout, H, W)
+            (2, 64, 128, 16, 200),  # conv3 at reference scale
+            (2, 4, 8, 8, 12),       # tiny, W2 < one lane tile
+        ],
+    )
+    def test_block_matches_xla(self, shape):
+        from img2latex_tpu.ops.pallas.conv_cf import (
+            _xla_convblock_cf,
+            fused_convblock_cf,
+        )
+
+        B, Cin, Cout, H, W = shape
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(B, Cin, H, W)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(3, 3, Cin, Cout)).astype(np.float32)) * 0.1
+        b = jnp.asarray(rng.normal(size=(Cout,)).astype(np.float32))
+        ref = _xla_convblock_cf(x, k, b)
+        got = fused_convblock_cf(x, k, b, interpret=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
+
+    @pytest.mark.parametrize("output", ["vector", "grid"])
+    def test_encoder_chain_matches_xla(self, output):
+        from img2latex_tpu.models.encoder import CNNEncoder
+
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.normal(size=(2, 64, 160, 1)).astype(np.float32))
+        ref_enc = CNNEncoder(output=output)
+        chain_enc = CNNEncoder(output=output, pallas_chain="interpret")
+        params = ref_enc.init(jax.random.PRNGKey(0), x)
+        ref = ref_enc.apply(params, x)
+        got = chain_enc.apply(params, x)
+        assert ref.shape == got.shape
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-4)
+        # identical parameter trees in both directions
+        shapes = lambda t: jax.tree.map(lambda a: a.shape, t)
+        assert shapes(params) == shapes(chain_enc.init(jax.random.PRNGKey(0), x))
+
+    def test_encoder_chain_gradients(self):
+        from img2latex_tpu.models.encoder import CNNEncoder
+
+        rng = np.random.default_rng(13)
+        x = jnp.asarray(rng.normal(size=(2, 16, 32, 1)).astype(np.float32))
+        enc = CNNEncoder(conv_filters=(4, 8), pallas_chain="interpret")
+        enc_std = CNNEncoder(conv_filters=(4, 8))
+        params = enc_std.init(jax.random.PRNGKey(1), x)
+        g = jax.grad(lambda p: jnp.sum(enc.apply(p, x) ** 2))(params)
+        g_std = jax.grad(lambda p: jnp.sum(enc_std.apply(p, x) ** 2))(params)
+        for name in ("Conv_0", "Conv_1", "Dense_0"):
+            np.testing.assert_allclose(
+                np.asarray(g["params"][name]["kernel"]),
+                np.asarray(g_std["params"][name]["kernel"]),
+                rtol=1e-3,
+                atol=1e-3,
+            )
+
+    def test_cpu_backend_falls_back(self):
+        from img2latex_tpu.models.encoder import CNNEncoder
+
+        x = jnp.zeros((1, 16, 32, 1), jnp.float32)
+        enc = CNNEncoder(conv_filters=(4, 8), pallas_chain=True)
+        params = enc.init(jax.random.PRNGKey(2), x)
+        assert enc.apply(params, x).shape == (1, 512)
