@@ -56,6 +56,9 @@ def main() -> None:
     # 5120 -> 29.6k, 6144 -> 30.4k img/s; 8192 exceeds HBM.
     batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 6144
     B = batch_per_chip * n_dev
+    # Encoder variant: "chain" = whole-conv-stack channel-first Pallas path
+    # (hardware.pallas_chain), "conv1" = first-block kernel only, "xla".
+    enc_variant = sys.argv[2] if len(sys.argv) > 2 else "chain"
 
     cfg = Config()
     cfg.model.name = "cnn_lstm"
@@ -67,9 +70,12 @@ def main() -> None:
     cfg.model.encoder.cnn.img_width = IMG_W
     cfg.data.max_seq_length = MAX_LEN
     cfg.hardware.compute_dtype = "bfloat16"
-    # Phase-split conv1 kernel: 1.06x the XLA conv1 block at batch 3072
-    # (scripts/bench_conv1.py; bit-exact checksums).
-    cfg.hardware.pallas_conv1 = use_pallas
+    # Encoder fast path: "chain" runs the whole conv stack channel-first
+    # (conv1_phase + conv_cf kernels, layout-absorbing head — no NCHW->NHWC
+    # relayout; scripts/bench_encoder_chain.py); "conv1" is the round-1
+    # first-block-only kernel (1.06x conv1 vs XLA, scripts/bench_conv1.py).
+    cfg.hardware.pallas_conv1 = use_pallas and enc_variant in ("conv1", "chain")
+    cfg.hardware.pallas_chain = use_pallas and enc_variant == "chain"
 
     model = build_model(cfg, VOCAB)
     rng = np.random.default_rng(0)

@@ -390,6 +390,211 @@ def pallas_full_greedy_decode(
     return tokens[:B]
 
 
+def _full_sample_kernel(
+    num_layers: int,
+    max_length: int,
+    start_id: int,
+    end_id: int,
+    pad_id: int,
+    top_k: int,
+    early_exit: bool,
+    *refs,
+):
+    """Whole-decode loop with **temperature + top-k sampling** in-kernel.
+
+    Same VMEM-resident-weights structure as :func:`_full_decode_kernel`;
+    the per-step token choice replaces argmax with the Gumbel-max trick
+    over top-k-masked logits (temperature is folded into ``w_out``/``b_out``
+    by the caller, so the kernel sees pre-scaled logits):
+
+    * k-th-largest threshold per row via ``top_k`` iterative (argmax, mask)
+      passes (duplicate values count separately — ``lax.top_k`` semantics,
+      matching ``decode.filter_top_k``); everything below it -> -1e30;
+    * ``argmax(masked + G)`` with ``G = -log(-log(U))`` Gumbel noise samples
+      exactly the renormalized top-k softmax (the scan path's categorical
+      draw, ``decode.py:134``) — same distribution, different RNG stream.
+      ``U`` comes from a counter-based integer hash of (seed, step, row,
+      col) (two rounds of xorshift-multiply, the "lowbias32" mixer) rather
+      than ``pltpu.prng_random_bits``: plain uint32 VPU ops run identically
+      in Mosaic and in interpret mode (the TPU PRNG primitives have no CPU
+      lowering on this toolchain) and make draws reproducible per seed.
+
+    refs: [ctx (B,E)] [emb (Vp,E)] [w_ih_i w_hh_i b_i]*L [w_out (H,Vp)]
+          [b_out (1,Vp)] [seed (1,1) i32 SMEM] -> out [tokens (T,B) i32],
+    scratch: h (L,B,H), c (L,B,H)
+    """
+    ctx_ref = refs[0]
+    emb_ref = refs[1]
+    idx = 2
+    layer_refs = []
+    for _ in range(num_layers):
+        layer_refs.append((refs[idx], refs[idx + 1], refs[idx + 2]))
+        idx += 3
+    w_out_ref, b_out_ref, seed_ref = refs[idx], refs[idx + 1], refs[idx + 2]
+    out_ref = refs[idx + 3]
+    h_ref, c_ref = refs[idx + 4], refs[idx + 5]
+
+    B = ctx_ref.shape[0]
+    Vp = emb_ref.shape[0]
+    dtype = emb_ref.dtype
+    NEG = jnp.float32(-1e30)
+
+    h_ref[...] = jnp.zeros_like(h_ref)
+    c_ref[...] = jnp.zeros_like(c_ref)
+    ctx = ctx_ref[:]
+    seed_u = seed_ref[0, 0].astype(jnp.uint32)
+    row_u = jax.lax.broadcasted_iota(jnp.uint32, (B, Vp), 0)
+    col_u = jax.lax.broadcasted_iota(jnp.uint32, (B, Vp), 1)
+
+    def random_uniform(t):
+        """(B, Vp) U(0,1) from a lowbias32-style hash of (seed, t, row, col)."""
+        x = (
+            seed_u
+            + t.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+            + row_u * jnp.uint32(0x85EBCA6B)
+            + col_u * jnp.uint32(0xC2B2AE35)
+        )
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * jnp.uint32(0x846CA68B)
+        x = x ^ (x >> 16)
+        u = (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+        return u * jnp.float32(1.0 - 2e-7) + jnp.float32(1e-7)
+
+    def body(t, state):
+        tokens, finished = state  # (B, 1) i32, (B, 1) i32 (0/1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+        onehot = (col == tokens).astype(dtype)
+        x = jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
+        x = jnp.concatenate([x.astype(dtype), ctx], axis=-1)
+        for layer, (w_ih_ref, w_hh_ref, b_ref) in enumerate(layer_refs):
+            gates = (
+                jnp.dot(x, w_ih_ref[:], preferred_element_type=jnp.float32)
+                + jnp.dot(h_ref[layer], w_hh_ref[:], preferred_element_type=jnp.float32)
+                + b_ref[:]
+            )
+            i_g, f_g, g_g, o_g = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f_g) * c_ref[layer].astype(jnp.float32) + jax.nn.sigmoid(
+                i_g
+            ) * jnp.tanh(g_g)
+            h_new = jax.nn.sigmoid(o_g) * jnp.tanh(c_new)
+            h_ref[layer] = h_new.astype(dtype)
+            c_ref[layer] = c_new.astype(dtype)
+            x = h_new.astype(dtype)
+        logits = jnp.dot(x, w_out_ref[:], preferred_element_type=jnp.float32) + b_out_ref[:]
+        # k-th largest per row (ties count separately: mask one winner index
+        # per pass, lowest column on value ties — lax.top_k's rule).
+        cur = logits
+        kth = None
+        for _ in range(top_k):
+            kth = jnp.max(cur, axis=-1, keepdims=True)
+            arg = jnp.argmax(cur, axis=-1, keepdims=True).astype(jnp.int32)
+            cur = jnp.where(col == arg, NEG, cur)
+        masked = jnp.where(logits >= kth, logits, NEG)
+        gumbel = -jnp.log(-jnp.log(random_uniform(t)))
+        nxt = jnp.argmax(masked + gumbel, axis=-1, keepdims=True).astype(jnp.int32)
+        out_tok = finished * jnp.int32(pad_id) + (1 - finished) * nxt
+        finished = jnp.maximum(finished, (out_tok == end_id).astype(jnp.int32))
+        out_ref[pl.ds(t, 1), :] = out_tok.reshape(1, B)
+        return out_tok, finished
+
+    tokens0 = jnp.full((B, 1), start_id, jnp.int32)
+    finished0 = jnp.zeros((B, 1), jnp.int32)
+    if not early_exit:
+        jax.lax.fori_loop(0, max_length, body, (tokens0, finished0))
+        return
+    out_ref[...] = jnp.full_like(out_ref, pad_id)
+
+    def w_cond(state):
+        t, _, finished = state
+        return jnp.logical_and(t < max_length, jnp.sum(finished) < B)
+
+    def w_body(state):
+        t, tokens, finished = state
+        tokens, finished = body(t, (tokens, finished))
+        return t + 1, tokens, finished
+
+    jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), tokens0, finished0))
+
+
+def pallas_full_sample_decode(
+    packed: Dict[str, Any],
+    context: jnp.ndarray,
+    max_length: int,
+    start_id: int,
+    end_id: int,
+    pad_id: int,
+    top_k: int,
+    seed,
+    temperature: float = 1.0,
+    interpret: bool = False,
+    batch_tile: int = 256,
+    early_exit: bool = False,
+) -> jnp.ndarray:
+    """Temperature + top-k sampling variant of
+    :func:`pallas_full_greedy_decode` (reference sampling semantics:
+    ``predictor.py:294-335``; the scan equivalent is
+    ``decode.greedy_sample_decode`` with ``top_k > 0``).
+
+    ``temperature`` is folded into the vocab projection outside the kernel
+    (``w_out/T``, ``b_out/T``) — algebraically identical to dividing the
+    logits.  ``seed`` (int32 scalar or array) seeds the in-kernel TPU PRNG;
+    each batch tile reseeds with ``seed + tile_index``.  Top-p is NOT
+    supported in-kernel (needs a full sort); the Predictor routes top-p to
+    the scan path.
+    """
+    assert top_k > 0, "use pallas_full_greedy_decode for argmax decoding"
+    B = context.shape[0]
+    L = int(packed["num_layers"])
+    H = int(packed["hidden_dim"])
+    dtype = packed["emb"].dtype
+    kernel = functools.partial(
+        _full_sample_kernel, L, max_length, start_id, end_id, pad_id, int(top_k), early_exit
+    )
+    inv_t = jnp.float32(1.0 / temperature) if temperature not in (0.0, 1.0) else None
+    w_out = packed["w_out"]
+    b_out = packed["b_out"].reshape(1, -1)
+    if inv_t is not None:
+        w_out = (w_out.astype(jnp.float32) * inv_t).astype(w_out.dtype)
+        b_out = b_out * inv_t
+    weight_args: List[jnp.ndarray] = [packed["emb"]]
+    for i in range(L):
+        weight_args += [packed[f"w_ih_{i}"], packed[f"w_hh_{i}"], packed[f"b_{i}"].reshape(1, -1)]
+    weight_args += [w_out, b_out]
+    n_inputs = 1 + len(weight_args)
+
+    def one_tile(args) -> jnp.ndarray:
+        ctx_tile, tile_seed = args
+        tile = ctx_tile.shape[0]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((max_length, tile), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_inputs
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((L, tile, H), dtype),
+                pltpu.VMEM((L, tile, H), dtype),
+            ],
+            interpret=interpret,
+        )(ctx_tile, *weight_args, tile_seed.reshape(1, 1))
+
+    ctx = context.astype(dtype)
+    seed0 = jnp.asarray(seed, jnp.int32).reshape(())
+    if B <= batch_tile:
+        return jnp.swapaxes(one_tile((ctx, seed0)), 0, 1)
+    Bp = _round_up(B, batch_tile)
+    if Bp != B:
+        ctx = jnp.pad(ctx, ((0, Bp - B), (0, 0)))
+    nc = Bp // batch_tile
+    chunks = ctx.reshape(nc, batch_tile, -1)
+    seeds = seed0 + jnp.arange(nc, dtype=jnp.int32)
+    tokens_tb = jax.lax.map(one_tile, (chunks, seeds))  # (nc, T, tile)
+    tokens = jnp.swapaxes(tokens_tb, 1, 2).reshape(Bp, max_length)
+    return tokens[:B]
+
+
 def vmem_bytes_estimate(packed: Dict[str, Any], batch: int) -> int:
     """Rough VMEM footprint of one kernel invocation (weights + IO)."""
     itemsize = jnp.dtype(packed["emb"].dtype).itemsize

@@ -234,17 +234,83 @@ class Predictor:
                 full = jnp.concatenate([feats, tail], axis=2)
                 return model.apply(vs, full, method=Seq2SeqModel.encode_from_features)
 
-        # Fused-Pallas greedy fast path (hardware.use_pallas_decode): vector
-        # memory + pure argmax only; other strategies use the scan path.
+        # Fused-Pallas fast paths (hardware.use_pallas_decode): vector memory;
+        # greedy, beam, and temperature+top-k sampling each have a whole-
+        # decode kernel.  Top-p needs a full sort — scan path only.
         use_pallas_family = (
             self.cfg.hardware.use_pallas_decode
-            and not dcfg.sampling
             and getattr(self.cfg.model, "memory", "vector") == "vector"
             # TPU-only (Mosaic kernel); "axon" = tunneled-TPU plugin backend.
             and jax.default_backend() in ("tpu", "axon")
         )
-        use_pallas = use_pallas_family and dcfg.beam_size == 0
-        use_pallas_beam = use_pallas_family and dcfg.beam_size > 0
+        use_pallas = use_pallas_family and dcfg.beam_size == 0 and not dcfg.sampling
+        use_pallas_beam = use_pallas_family and dcfg.beam_size > 0 and not dcfg.sampling
+        use_pallas_sample = (
+            use_pallas_family
+            and dcfg.sampling
+            and dcfg.beam_size == 0
+            and dcfg.top_k > 0
+            and dcfg.top_p == 0.0
+        )
+
+        if use_pallas_sample:
+            from img2latex_tpu.ops.pallas.decode_step import (
+                pack_decoder_weights,
+                pallas_full_sample_decode,
+            )
+
+            packed = pack_decoder_weights(self._variables(), self.tokenizer.vocab_size, dtype)
+
+            def sample_kernel_path(pk, memory_vec, seed):
+                # Whole-decode sampling kernel: temperature folded into the
+                # vocab projection, in-kernel top-k mask + Gumbel-max draw.
+                return pallas_full_sample_decode(
+                    pk,
+                    memory_vec,
+                    dcfg.max_length,
+                    dcfg.start_id,
+                    dcfg.end_id,
+                    dcfg.pad_id,
+                    top_k=dcfg.top_k,
+                    seed=seed,
+                    temperature=dcfg.temperature,
+                    early_exit=dcfg.early_exit,
+                )
+
+            if mesh is None:
+
+                @jax.jit
+                def run_sample(images_u8, rng):
+                    memory = encode_fn(variables, images_u8)
+                    seed = jax.random.bits(rng, dtype=jnp.uint32).astype(jnp.int32)
+                    return sample_kernel_path(packed, memory[:, 0, :], seed)
+
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                def shard_sample(pk, memory_vec, seed):
+                    # decorrelate shards: offset the seed by the data-axis
+                    # coordinate so each chip draws a distinct stream
+                    seed = seed + jax.lax.axis_index("data").astype(jnp.int32) * 7919
+                    return sample_kernel_path(pk, memory_vec, seed)
+
+                local = jax.shard_map(
+                    shard_sample,
+                    mesh=mesh,
+                    in_specs=(P(), P("data"), P()),
+                    out_specs=P("data"),
+                    check_vma=False,
+                )
+                data_sh = NamedSharding(mesh, P("data"))
+
+                @partial(jax.jit, in_shardings=(data_sh, None), out_shardings=data_sh)
+                def run_sample(images_u8, rng):
+                    memory = encode_fn(variables, images_u8)
+                    seed = jax.random.bits(rng, dtype=jnp.uint32).astype(jnp.int32)
+                    return local(packed, memory[:, 0, :], seed)
+
+            self._jit_cache[key] = run_sample
+            return run_sample
 
         if use_pallas_beam:
             from img2latex_tpu.ops.pallas.beam_decode import pallas_full_beam_decode

@@ -152,3 +152,119 @@ class TestFullLoopKernel:
         arr = np.asarray(got)
         assert (arr[:, 0] == 2).all()  # END first step
         assert (arr[:, 1:] == 0).all()  # PAD tail
+
+
+class TestFullSampleKernel:
+    """Whole-decode sampling kernel (temperature + top-k + Gumbel-max)."""
+
+    def test_top_k_1_equals_greedy(self, setup):
+        from img2latex_tpu.ops.pallas.decode_step import (
+            pallas_full_greedy_decode,
+            pallas_full_sample_decode,
+        )
+
+        cfg, model, params, memory, packed, V = setup
+        ctx = memory[:, 0, :]
+        s = pallas_full_sample_decode(
+            packed, ctx, 16, 1, 2, 0, top_k=1, seed=7, interpret=True
+        )
+        g = pallas_full_greedy_decode(packed, ctx, 16, 1, 2, 0, interpret=True)
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(g))
+
+    def test_support_and_pad_absorption(self, setup):
+        """Every sampled token is inside the step's top-k logit set, and
+        finished rows emit PAD forever (oracle replay through the flax
+        decode_step)."""
+        from img2latex_tpu.models.seq2seq import init_decoder_carry
+        from img2latex_tpu.ops.pallas.decode_step import pallas_full_sample_decode
+
+        cfg, model, params, memory, packed, V = setup
+        ctx = memory[:, 0, :]
+        K, T = 4, 16
+        s = np.asarray(
+            pallas_full_sample_decode(
+                packed, ctx, T, 1, 2, 0, top_k=K, seed=123, interpret=True
+            )
+        )
+        B = ctx.shape[0]
+        carry = init_decoder_carry(2, B, 128)
+        toks = jnp.full((B,), 1, jnp.int32)
+        finished = np.zeros(B, bool)
+        for t in range(T):
+            logits, carry = model.apply(
+                params, memory, toks, carry, method=Seq2SeqModel.decode_step
+            )
+            lg = np.asarray(logits)
+            kth = np.sort(lg, axis=-1)[:, -K]
+            for b in range(B):
+                if finished[b]:
+                    assert s[b, t] == 0
+                else:
+                    assert lg[b, s[b, t]] >= kth[b] - 1e-5
+            finished |= s[:, t] == 2
+            toks = jnp.asarray(np.where(finished, 0, s[:, t]).astype(np.int32))
+
+    def test_seed_changes_draws_and_tiling_runs(self, setup):
+        from img2latex_tpu.ops.pallas.decode_step import pallas_full_sample_decode
+
+        cfg, model, params, memory, packed, V = setup
+        ctx = memory[:, 0, :]
+        a = np.asarray(
+            pallas_full_sample_decode(packed, ctx, 16, 1, 2, 0, top_k=4, seed=1, interpret=True)
+        )
+        b = np.asarray(
+            pallas_full_sample_decode(packed, ctx, 16, 1, 2, 0, top_k=4, seed=2, interpret=True)
+        )
+        assert not np.array_equal(a, b)
+        big = pallas_full_sample_decode(
+            jax.tree.map(lambda x: x, packed),
+            jnp.concatenate([ctx] * 4, axis=0),
+            16, 1, 2, 0, top_k=4, seed=3, interpret=True, batch_tile=8,
+        )
+        assert big.shape == (ctx.shape[0] * 4, 16)
+
+    def test_first_token_distribution_matches_topk_softmax(self, setup):
+        """Empirical first-token frequencies over many rows with a shared
+        context match the renormalized top-k softmax (Gumbel-max is an
+        exact categorical sampler; tolerance is statistical)."""
+        from img2latex_tpu.ops.pallas.decode_step import pallas_full_sample_decode
+        from img2latex_tpu.models.seq2seq import init_decoder_carry
+
+        cfg, model, params, memory, packed, V = setup
+        N, K = 1024, 3
+        ctx = jnp.broadcast_to(memory[:1, 0, :], (N, memory.shape[-1]))
+        s = np.asarray(
+            pallas_full_sample_decode(
+                packed, ctx, 1, 1, 2, 0, top_k=K, seed=77, interpret=True
+            )
+        )[:, 0]
+        carry = init_decoder_carry(2, 1, 128)
+        logits, _ = model.apply(
+            params, memory[:1], jnp.full((1,), 1, jnp.int32), carry,
+            method=Seq2SeqModel.decode_step,
+        )
+        lg = np.asarray(logits)[0]
+        kth = np.sort(lg)[-K]
+        keep = lg >= kth - 1e-7
+        p = np.where(keep, np.exp(lg - lg.max()), 0.0)
+        p = p / p.sum()
+        for tok in np.nonzero(keep)[0]:
+            emp = float(np.mean(s == tok))
+            assert abs(emp - p[tok]) < 0.06, (tok, emp, p[tok])
+        assert np.isin(s, np.nonzero(keep)[0]).all()
+
+    def test_early_exit_shape_and_pads(self, setup):
+        from img2latex_tpu.ops.pallas.decode_step import pallas_full_sample_decode
+
+        cfg, model, params, memory, packed, V = setup
+        ctx = memory[:, 0, :]
+        s = np.asarray(
+            pallas_full_sample_decode(
+                packed, ctx, 16, 1, 2, 0, top_k=4, seed=5, interpret=True, early_exit=True
+            )
+        )
+        assert s.shape == (ctx.shape[0], 16)
+        for row in s:
+            ends = np.nonzero(row == 2)[0]
+            if len(ends):
+                assert (row[ends[0] + 1 :] == 0).all()
