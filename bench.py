@@ -56,9 +56,12 @@ def main() -> None:
     # 5120 -> 29.6k, 6144 -> 30.4k img/s; 8192 exceeds HBM.
     batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 6144
     B = batch_per_chip * n_dev
-    # Encoder variant: "chain" = whole-conv-stack channel-first Pallas path
-    # (hardware.pallas_chain), "conv1" = first-block kernel only, "xla".
-    enc_variant = sys.argv[2] if len(sys.argv) > 2 else "chain"
+    # Encoder variant: "conv1" (default) = first-block kernel only (1.02-1.06x
+    # vs XLA on chip); "chain" = whole-conv-stack channel-first Pallas path —
+    # measured 0.435x vs XLA at batch 3072 (scripts/bench_encoder_chain.py,
+    # 2026-08-17: xla 73.7ms / conv1 72.0ms / chain 169.4ms), kept only as an
+    # A/B variant; "xla" = no Pallas encoder.
+    enc_variant = sys.argv[2] if len(sys.argv) > 2 else "conv1"
 
     cfg = Config()
     cfg.model.name = "cnn_lstm"

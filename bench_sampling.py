@@ -64,9 +64,29 @@ def main() -> None:
     )
     dtype = jnp.bfloat16
 
+    # "kernel" (default on TPU): whole-decode sampling kernel (in-kernel
+    # top-k + Gumbel-max); "scan": the XLA scan path (round-1 baseline).
+    variant = sys.argv[2] if len(sys.argv) > 2 else "kernel"
+    use_kernel = variant == "kernel" and jax.default_backend() in ("tpu", "axon")
+    packed = None
+    if use_kernel:
+        from img2latex_tpu.ops.pallas.decode_step import (
+            pack_decoder_weights,
+            pallas_full_sample_decode,
+        )
+
+        packed = pack_decoder_weights(params, VOCAB, dtype)
+
     def decode(params, images_u8, key):
         x = normalize_images(images_u8, compute_dtype=dtype)
         memory = model.apply(params, x, method=Seq2SeqModel.encode)
+        if use_kernel:
+            seed = jax.random.bits(key, dtype=jnp.uint32).astype(jnp.int32)
+            return pallas_full_sample_decode(
+                packed, memory[:, 0, :], MAX_LEN, dcfg.start_id, dcfg.end_id,
+                dcfg.pad_id, top_k=dcfg.top_k, seed=seed,
+                temperature=dcfg.temperature,
+            )
 
         def step_fn(tokens, carry):
             return model.apply(params, memory, tokens, carry, method=Seq2SeqModel.decode_step)
