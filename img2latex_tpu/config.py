@@ -63,6 +63,12 @@ class DataConfig:
     # live memory stats (free HBM minus headroom for params/activations),
     # falling back to 4 GiB train / 2 GiB val when the backend reports none.
     device_cache_budget_gb: Optional[float] = None
+    # Store the device cache as 1 grayscale channel even when the model eats
+    # 3-channel images (ResNet), tiling channels on device after the batch
+    # gather — 3x less HBM.  Exact when the source images are grayscale
+    # (all channels equal, e.g. rendered formulas); the fill verifies this
+    # per image and falls back to full-channel storage on any violation.
+    device_cache_grayscale: bool = False
 
 
 @dataclass

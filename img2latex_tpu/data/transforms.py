@@ -23,6 +23,16 @@ except AttributeError:  # pragma: no cover - older Pillow
     _LANCZOS = Image.LANCZOS
 
 
+def _pad_fill(img: Image.Image, pad_value: int):
+    """Per-band fill color.  The reference passes the bare int 255 to
+    ``Image.new`` (``transforms.py:29,44-48``), which PIL interprets on RGB
+    images as the packed color 0x0000FF — i.e. RED padding, contradicting
+    the reference's own "White padding" comment.  We implement the intent:
+    ``pad_value`` replicated across bands (identical on 1-band images)."""
+    bands = len(img.getbands())
+    return pad_value if bands == 1 else (pad_value,) * bands
+
+
 def resize_with_aspect_ratio(
     img: Image.Image, target_height: int, target_width: int, pad_value: int = 255
 ) -> Image.Image:
@@ -30,13 +40,13 @@ def resize_with_aspect_ratio(
     (white) or center-crop to ``target_width``."""
     width, height = img.size
     if height == 0:
-        return Image.new(img.mode, (target_width, target_height), pad_value)
+        return Image.new(img.mode, (target_width, target_height), _pad_fill(img, pad_value))
     new_width = int(round(target_height * (width / height)))
     img_resized = img.resize((new_width, target_height), _LANCZOS)
     if new_width == target_width:
         return img_resized
     if new_width < target_width:
-        padded = Image.new(img.mode, (target_width, target_height), pad_value)
+        padded = Image.new(img.mode, (target_width, target_height), _pad_fill(img, pad_value))
         padded.paste(img_resized, (0, 0))
         return padded
     left = (new_width - target_width) // 2
@@ -69,8 +79,8 @@ def augment_image(img: Image.Image, rng: np.random.Generator, pad_value: int = 2
     w, h = img.size
     tx = float(rng.uniform(-max_translate_frac, max_translate_frac)) * w
     ty = float(rng.uniform(-max_translate_frac, max_translate_frac)) * h
-    out = img.rotate(angle, resample=Image.BILINEAR, expand=False, fillcolor=pad_value,
-                     translate=(tx, ty))
+    out = img.rotate(angle, resample=Image.BILINEAR, expand=False,
+                     fillcolor=_pad_fill(img, pad_value), translate=(tx, ty))
     return out
 
 

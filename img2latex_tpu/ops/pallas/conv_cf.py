@@ -35,6 +35,21 @@ Kernel design (per grid program = one image):
 
 Reference semantics: conv blocks 2..n of ``encoder.py:74-107``.
 Kernel-language reference: /opt/skills/guides/pallas_guide.md.
+
+ON-CHIP VERDICT (v5e, 2026-08-17, ``scripts/bench_encoder_chain.py`` at
+B=3072 vector):  xla 73.7 ms / conv1 72.0 ms / **chain 169.4 ms** — the
+channel-first chain is 0.435x vs XLA despite eliminating every relayout.
+The per-image grid fragments the MXU: each program issues one
+(256, 512) @ (512, ~6.4k) matmul for conv2 and a (512, 1024) @ (1024, ~1.6k)
+for conv3 — too little arithmetic per program to hide the (Cin, H, W)
+tap-bundle build (16 shifted VPU copies of the whole input per block),
+and the 16/9 tap inflation that is free for HBM-bound conv1 costs real
+FLOPs on compute-bound conv2/3.  This closes the round-1 question "is the
+layout wall fundamental?": yes — the relayout-free formulation loses more
+on the VPU tap build + FLOP inflation than the ~20-25 ms NCHW->NHWC
+transpose it avoids.  The path stays correct (checksum rel diff 2.5e-07
+vs XLA on chip) and opt-in via ``hardware.pallas_chain`` for A/B, but the
+shipped default is ``pallas_conv1`` only (1.02-1.06x).
 """
 
 from __future__ import annotations

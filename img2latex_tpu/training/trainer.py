@@ -286,6 +286,22 @@ class Trainer:
             return int(free * share)
         return int(fallback_gib * 1024**3)
 
+    def _cache_store_channels(self, c: int) -> int:
+        """Channel count to STORE in a device cache: 1 when
+        ``data.device_cache_grayscale`` is set and the model eats multi-
+        channel images (the gathered batch is tiled back to ``c`` on
+        device), else ``c``."""
+        if getattr(self.cfg.data, "device_cache_grayscale", False) and c > 1:
+            return 1
+        return c
+
+    @staticmethod
+    def _tile_channels(images, c: int):
+        """(B,H,W,1) uint8 -> (B,H,W,c): undo grayscale cache storage."""
+        return jnp.broadcast_to(
+            images, images.shape[:-1] + (c,)
+        ) if images.shape[-1] == 1 and c > 1 else images
+
     def _get_device_cache(self):
         """HBM-resident train split: images (N,H,W,C) uint8 + token ids
         (N,L) int32, uploaded ONCE.  Batches are gathered on device by a
@@ -302,8 +318,9 @@ class Trainer:
         ds = self.loaders["train"].dataset
         n = len(ds)
         h, w, c = self.cfg.image_shape
+        c_store = self._cache_store_channels(c)
         dp = self.mesh.shape["data"] if self.mesh is not None else 1
-        est = n * (h * w * c + self.tokenizer.max_sequence_length * 4)
+        est = n * (h * w * c_store + self.tokenizer.max_sequence_length * 4)
         budget = self._cache_budget(fallback_gib=4.0, share=0.6) * dp
         if est > budget:
             logger.warning(
@@ -317,11 +334,39 @@ class Trainer:
         # Pad the sample axis to a multiple of dp (wrap-around duplicates)
         # so every shard holds the same count; n_pad == n when dp == 1.
         n_pad = ((n + dp - 1) // dp) * dp
-        imgs = np.zeros((n_pad, h, w, c), np.uint8)
         forms = np.zeros((n_pad, self.tokenizer.max_sequence_length), np.int32)
-        for i in range(n_pad):
-            imgs[i] = ds.image(i % n)
-            forms[i] = ds.token_ids(i % n)
+
+        def fill(c_s: int):
+            arr = np.zeros((n_pad, h, w, c_s), np.uint8)
+            for i in range(n_pad):
+                img = ds.image(i % n)
+                if c_s != c and not np.array_equal(
+                    img, np.broadcast_to(img[..., :1], img.shape)
+                ):
+                    # Non-grayscale source: 1-channel storage would be lossy.
+                    logger.warning(
+                        "device_cache_grayscale: image %d has unequal "
+                        "channels; storing the full %d-channel cache", i % n, c
+                    )
+                    return None
+                arr[i] = img[..., :c_s]
+                forms[i] = ds.token_ids(i % n)
+            return arr
+
+        imgs = fill(c_store)
+        if imgs is None:
+            c_store = c
+            est = n * (h * w * c + self.tokenizer.max_sequence_length * 4)
+            if est > budget:
+                logger.warning(
+                    "full-channel device_cache would use %.2f GiB (> %.2f GiB "
+                    "budget); falling back to the host loader",
+                    est / 1024**3, budget / 1024**3,
+                )
+                self._device_cache = False
+                return False
+            imgs = fill(c)
+        self._cache_tile_train = c_store != c
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -339,9 +384,10 @@ class Trainer:
             "dp": dp,
         }
         logger.info(
-            "device_cache: %d samples (%.2f GiB) resident in HBM over %d device(s)",
+            "device_cache: %d samples (%.2f GiB%s) resident in HBM over %d device(s)",
             n,
             est / 1024**3,
+            ", grayscale-stored" if self._cache_tile_train else "",
             dp,
         )
         return self._device_cache
@@ -350,6 +396,7 @@ class Trainer:
         if self._cached_step is not None:
             return self._cached_step
         B = self.cfg.data.batch_size
+        C = self.cfg.image_shape[2]  # tile grayscale-stored caches back
         step_fn = self._train_step_fn
 
         if self.mesh is None:
@@ -359,7 +406,9 @@ class Trainer:
             def cached_step(state, images_all, formulas_all, perm, i, rng):
                 idx = jax.lax.dynamic_slice(perm, (i * B,), (B,))
                 batch = {
-                    "images": jnp.take(images_all, idx, axis=0),
+                    "images": self._tile_channels(
+                        jnp.take(images_all, idx, axis=0), C
+                    ),
                     "formulas": jnp.take(formulas_all, idx, axis=0),
                 }
                 return step_fn(state, batch, rng)
@@ -404,6 +453,7 @@ class Trainer:
         )
         def cached_step_mesh(state, images_all, formulas_all, perm, i, rng):
             imgs, fos = gather(images_all, formulas_all, perm, i)
+            imgs = self._tile_channels(imgs, C)
             return step_fn(state, {"images": imgs, "formulas": fos}, rng)
 
         self._cached_step = cached_step_mesh
@@ -424,21 +474,43 @@ class Trainer:
         n = len(ds)
         B = loader.batch_size
         h, w, c = self.cfg.image_shape
+        c_store = self._cache_store_channels(c)
         n_pad = ((n + B - 1) // B) * B
-        est = n_pad * (h * w * c + self.tokenizer.max_sequence_length * 4)
+        est = n_pad * (h * w * c_store + self.tokenizer.max_sequence_length * 4)
         if est > self._cache_budget(fallback_gib=2.0, share=0.3):
             logger.warning("val device_cache over HBM budget; using the host loader")
             self._val_device_cache = False
             return False
-        imgs = np.zeros((n_pad, h, w, c), np.uint8)
         forms = np.full(
             (n_pad, self.tokenizer.max_sequence_length),
             self.tokenizer.pad_token_id,
             np.int32,
         )
-        for i in range(n):
-            imgs[i] = ds.image(i)
-            forms[i] = ds.token_ids(i)
+
+        def fill(c_s: int):
+            arr = np.zeros((n_pad, h, w, c_s), np.uint8)
+            for i in range(n):
+                img = ds.image(i)
+                if c_s != c and not np.array_equal(
+                    img, np.broadcast_to(img[..., :1], img.shape)
+                ):
+                    logger.warning(
+                        "device_cache_grayscale: val image %d has unequal "
+                        "channels; storing the full %d-channel cache", i, c
+                    )
+                    return None
+                arr[i] = img[..., :c_s]
+                forms[i] = ds.token_ids(i)
+            return arr
+
+        imgs = fill(c_store)
+        if imgs is None:
+            est = n_pad * (h * w * c + self.tokenizer.max_sequence_length * 4)
+            if est > self._cache_budget(fallback_gib=2.0, share=0.3):
+                logger.warning("val device_cache over HBM budget; using the host loader")
+                self._val_device_cache = False
+                return False
+            imgs = fill(c)
         if self.mesh is not None:
             # Replicated (val splits are small; the budget check above holds
             # per device) — sequential batch slices then stay local and the
@@ -465,6 +537,7 @@ class Trainer:
             return self._cached_eval_step
         eval_fn = self._eval_step_fn
         B = self.loaders["validate"].batch_size
+        C = self.cfg.image_shape[2]  # tile grayscale-stored caches back
         mesh = self.mesh
 
         if mesh is None:
@@ -473,7 +546,9 @@ class Trainer:
             def cached_eval(state, images_all, formulas_all, i):
                 start = i * B
                 batch = {
-                    "images": jax.lax.dynamic_slice_in_dim(images_all, start, B, 0),
+                    "images": self._tile_channels(
+                        jax.lax.dynamic_slice_in_dim(images_all, start, B, 0), C
+                    ),
                     "formulas": jax.lax.dynamic_slice_in_dim(formulas_all, start, B, 0),
                 }
                 return eval_fn(state, batch)
@@ -490,7 +565,9 @@ class Trainer:
         def cached_eval_mesh(state, images_all, formulas_all, i):
             start = i * B
             batch = {
-                "images": jax.lax.dynamic_slice_in_dim(images_all, start, B, 0),
+                "images": self._tile_channels(
+                    jax.lax.dynamic_slice_in_dim(images_all, start, B, 0), C
+                ),
                 "formulas": jax.lax.dynamic_slice_in_dim(formulas_all, start, B, 0),
             }
             # The cache is replicated; constrain the sliced batch (and with

@@ -87,7 +87,44 @@ def free_device_memory_bytes(fallback: Optional[int] = None) -> Optional[int]:
     in_use = stats.get("bytes_in_use", 0)
     if limit:
         return max(int(limit) - int(in_use), 0)
+    hbm = device_hbm_bytes()
+    if hbm:
+        # Stats unavailable (e.g. the tunneled axon TPU plugin returns None)
+        # but the part is known: report capacity minus a 20% headroom guess.
+        return int(hbm * 0.8)
     return fallback
+
+
+# HBM per chip by device_kind substring (first match wins).  Used only when
+# the runtime reports no memory_stats; callers apply their own share/headroom.
+_HBM_BY_KIND = (
+    ("v5 lite", 16),  # v5e ("TPU v5 lite")
+    ("v5e", 16),
+    ("v5p", 95),
+    ("v6 lite", 32),  # Trillium
+    ("v6e", 32),
+    ("v4", 32),
+    ("v3", 16),
+    ("v2", 8),
+)
+
+
+def device_hbm_bytes() -> Optional[int]:
+    """Best-effort HBM capacity of device 0 in bytes from ``device_kind``
+    (TPU parts only), for backends whose ``memory_stats()`` is absent."""
+    import jax
+
+    try:
+        dev = jax.local_devices()[0]
+        if dev.platform not in ("tpu", "axon"):
+            return None
+        kind = (dev.device_kind or "").lower()
+    except Exception:  # pragma: no cover - backend-dependent
+        return None
+    for sub, gib in _HBM_BY_KIND:
+        if sub in kind:
+            return gib * 1024**3
+    return 16 * 1024**3  # unknown TPU: conservative v5e-class default
 
 
 def batch_size_finder(

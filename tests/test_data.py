@@ -73,6 +73,20 @@ class TestTransforms:
         rgb = load_image_u8(str(p), (64, 800), channels=3)
         assert rgb.shape == (64, 800, 3)
 
+    def test_rgb_padding_is_white_not_red(self):
+        """The reference passes int 255 to Image.new on RGB canvases, which
+        PIL renders as RED (255,0,0) — contradicting its own "White padding"
+        comment (reference transforms.py:44-48).  We implement the intent:
+        padding replicates pad_value across bands, so a grayscale-origin RGB
+        image stays channel-equal end to end."""
+        arr = np.full((40, 90), 128, np.uint8)
+        rgb = Image.fromarray(arr, mode="L").convert("RGB")
+        out = np.asarray(resize_with_aspect_ratio(rgb, 64, 320))
+        pad_region = out[:, 200:, :]  # content ends at width 144
+        assert (pad_region == 255).all()
+        np.testing.assert_array_equal(out[..., 0], out[..., 1])
+        np.testing.assert_array_equal(out[..., 0], out[..., 2])
+
     def test_load_image_error_returns_zero_canvas(self, tmp_path):
         p = tmp_path / "bad.png"
         p.write_bytes(b"not a png")
