@@ -148,7 +148,36 @@ def restore_checkpoint(
         if template is not None:
             state = ckptr.restore(step_dir / _STATE_SUBDIR, item=template)
         else:
-            state = ckptr.restore(step_dir / _STATE_SUBDIR)
+            # Template-less restore (Predictor and tools): restore every leaf
+            # as numpy, with the tree rebuilt from the checkpoint's own
+            # metadata.  A bare ``ckptr.restore(dir)`` asks the jax-array
+            # handler to rebuild device arrays and fails on this orbax
+            # version when the restoring process cannot supply a sharding
+            # (e.g. cross-process CPU restores: "sharding passed to
+            # deserialization should be specified... Got None").  Numpy
+            # leaves sidestep sharding entirely; consumers device_put as
+            # needed.
+            import jax
+            import numpy as np
+
+            meta_obj = ckptr.metadata(step_dir / _STATE_SUBDIR)
+            tree = getattr(meta_obj, "item_metadata", meta_obj)
+            tree = getattr(tree, "tree", tree)
+
+            def _leaf(m):
+                shape = getattr(m, "shape", None)
+                return np.zeros(shape, m.dtype) if shape is not None else 0
+
+            item = jax.tree_util.tree_map(_leaf, tree)
+            restore_args = jax.tree_util.tree_map(
+                lambda x: ocp.RestoreArgs(
+                    restore_type=np.ndarray if isinstance(x, np.ndarray) else None
+                ),
+                item,
+            )
+            state = ckptr.restore(
+                step_dir / _STATE_SUBDIR, item=item, restore_args=restore_args
+            )
     meta_file = step_dir / _META_FILE
     meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
     return state, meta
