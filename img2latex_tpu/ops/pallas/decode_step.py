@@ -442,24 +442,32 @@ def _full_sample_kernel(
     h_ref[...] = jnp.zeros_like(h_ref)
     c_ref[...] = jnp.zeros_like(c_ref)
     ctx = ctx_ref[:]
-    seed_u = seed_ref[0, 0].astype(jnp.uint32)
-    row_u = jax.lax.broadcasted_iota(jnp.uint32, (B, Vp), 0)
-    col_u = jax.lax.broadcasted_iota(jnp.uint32, (B, Vp), 1)
+    # The hash runs in int32 with logical shifts: Mosaic rejects
+    # uint32->float32 casts in-kernel ("Unsupported cast", measured on chip
+    # 2026-08-17) and uint->int bitcasts are equally dicey, while int32
+    # wraparound multiply/add and lax.shift_right_logical lower fine and are
+    # bit-identical to the uint32 formulation (two's complement).
+    seed_i = seed_ref[0, 0]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+    srl = jax.lax.shift_right_logical
 
     def random_uniform(t):
-        """(B, Vp) U(0,1) from a lowbias32-style hash of (seed, t, row, col)."""
+        """(B, Vp) U(0,1) from a lowbias32-style hash of (seed, t, row, col);
+        int32 constants are the two's-complement views of the uint32 ones."""
         x = (
-            seed_u
-            + t.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-            + row_u * jnp.uint32(0x85EBCA6B)
-            + col_u * jnp.uint32(0xC2B2AE35)
+            seed_i
+            + t * jnp.int32(-1640531527)  # 0x9E3779B9
+            + row_i * jnp.int32(-2048144789)  # 0x85EBCA6B
+            + col_i * jnp.int32(-1028477387)  # 0xC2B2AE35
         )
-        x = x ^ (x >> 16)
-        x = x * jnp.uint32(0x7FEB352D)
-        x = x ^ (x >> 15)
-        x = x * jnp.uint32(0x846CA68B)
-        x = x ^ (x >> 16)
-        u = (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+        x = x ^ srl(x, 16)
+        x = x * jnp.int32(2146121005)  # 0x7FEB352D
+        x = x ^ srl(x, 15)
+        x = x * jnp.int32(-2073254261)  # 0x846CA68B
+        x = x ^ srl(x, 16)
+        # Top 24 bits: non-negative in int32, so the int->float cast is exact.
+        u = srl(x, 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
         return u * jnp.float32(1.0 - 2e-7) + jnp.float32(1e-7)
 
     def body(t, state):

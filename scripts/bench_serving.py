@@ -1,0 +1,94 @@
+"""Serving latency artifact: dynamic-batching InferenceServer on a trained
+checkpoint, early-exit off vs on.
+
+The whole-decode kernel family always runs max_length steps; with
+``early_exit=True`` decode stops once every row emitted END (in-kernel
+while_loop bailout / scan path cond), which on a trained model tracks the
+mean sequence length.  This measures the per-request latency percentiles
+(`ServerStats.latency_percentiles_ms`) and aggregate throughput both ways.
+
+Usage:
+  python scripts/bench_serving.py <ckpt_dir> <img_dir> [--n 256]
+      [--batch 16] [--max-wait-ms 5] [--out artifacts/...json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ckpt")
+    ap.add_argument("img_dir")
+    ap.add_argument("--n", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import jax
+
+    cache_dir = os.path.join(repo, ".cache", "jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from img2latex_tpu.serving import InferenceServer
+    from img2latex_tpu.training.predictor import Predictor
+
+    files = sorted(
+        glob.glob(os.path.join(args.img_dir, "*.png"))
+        + glob.glob(os.path.join(args.img_dir, "*.jpg"))
+    )
+    if not files:
+        raise SystemExit(f"no images under {args.img_dir}")
+    images = [files[i % len(files)] for i in range(args.n)]
+
+    pred = Predictor.from_checkpoint(args.ckpt, batch_size=args.batch)
+    results = {}
+    for early_exit in (False, True):
+        srv = InferenceServer(
+            pred, max_batch=args.batch, max_wait_ms=args.max_wait_ms,
+            early_exit=early_exit,
+        )
+        with srv:
+            srv.predict_many(images[: args.batch])  # warm/compile
+            srv.stats = type(srv.stats)()  # reset counters after warmup
+            t0 = time.perf_counter()
+            out = srv.predict_many(images)
+            wall = time.perf_counter() - t0
+        assert len(out) == args.n and all(isinstance(s, str) for s in out)
+        row = {
+            "latency_ms": srv.stats.latency_percentiles_ms(),
+            "throughput_img_s": args.n / wall,
+            "wall_s": wall,
+        }
+        results["early_exit" if early_exit else "full_length"] = row
+        print(f"early_exit={early_exit}: {json.dumps(row)}", flush=True)
+
+    out_doc = {
+        "checkpoint": args.ckpt,
+        "n_requests": args.n,
+        "batch": args.batch,
+        "max_wait_ms": args.max_wait_ms,
+        "note": "per-request latency includes the tunneled platform's "
+                "~25-30 ms host<->device round trip",
+        **results,
+    }
+    if args.out:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out_doc, f, indent=2)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
