@@ -264,6 +264,13 @@ class HardwareConfig:
     # layout-absorbing Dense head — no NCHW->NHWC relayout anywhere.  Off by
     # default (training uses XLA); inference/bench enable it.
     pallas_chain: bool = False
+    # int8-quantized CNN conv blocks (ops/int8.py): per-channel symmetric
+    # weights + per-tensor dynamic activations, int8xint8->int32 on the MXU
+    # (2x the bf16 rate on v5e).  Numerically approximate — inference-side
+    # opt-in (Predictor.from_checkpoint(use_int8_encoder=True)); ignored by
+    # the training step.  Quality deltas per checkpoint recorded by
+    # scripts/ab_pallas_decode.py --int8.
+    int8_encoder: bool = False
 
 
 @dataclass

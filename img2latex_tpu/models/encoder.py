@@ -65,6 +65,12 @@ class CNNEncoder(nn.Module):
     # transpose of the packed matrix).  TPU-only when on; "interpret" for
     # tests; training-safe (custom VJPs per block).
     pallas_chain: Any = False  # False | True | "interpret"
+    # int8-quantized conv blocks (ops/int8.py): per-channel symmetric weights,
+    # per-tensor dynamic activations, int8xint8->int32 conv on the MXU (2x the
+    # bf16 rate on v5e).  Numerically approximate (quantization rounding) —
+    # an inference-side opt-in; same parameter tree as the f32 path.  Composes
+    # with pallas_conv1 (block 0 exact via the kernel, blocks 1..n int8).
+    int8: bool = False
 
     @nn.compact
     def __call__(
@@ -131,6 +137,23 @@ class CNNEncoder(nn.Module):
                 kernel = conv.variables["params"]["kernel"]
                 bias = conv.variables["params"]["bias"]
                 x = conv1_pool(x, kernel.astype(self.dtype), bias, interpret)
+                continue
+            if self.int8:
+                from img2latex_tpu.ops.int8 import conv_block_int8
+
+                conv = nn.Conv(
+                    features=filters,
+                    kernel_size=(self.kernel_size, self.kernel_size),
+                    padding="SAME",
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                )
+                # Register the standard Conv params (identical tree to the
+                # XLA path); the dummy call's output is unused and DCE'd.
+                _ = conv(x[:1, : self.kernel_size + 1, : self.kernel_size + 1, :])
+                kernel = conv.variables["params"]["kernel"]
+                bias = conv.variables["params"]["bias"]
+                x = conv_block_int8(x, kernel, bias, self.pool_size, self.dtype)
                 continue
             if fuse and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
                 conv = nn.Conv(

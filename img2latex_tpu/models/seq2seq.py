@@ -36,6 +36,7 @@ class Seq2SeqModel(nn.Module):
     fused_conv_pool: bool = False  # HBM-saving conv+pool phase decomposition
     pallas_conv1: Any = False  # first-block Pallas kernel (hardware.pallas_conv1)
     pallas_chain: Any = False  # whole-conv-stack channel-first path (hardware.pallas_chain)
+    int8_encoder: bool = False  # int8 conv blocks, inference opt-in (hardware.int8_encoder)
     # ResNet encoder
     resnet_name: str = "resnet50"
     dtype: Any = jnp.float32
@@ -54,6 +55,7 @@ class Seq2SeqModel(nn.Module):
                 fused_pool=self.fused_conv_pool,
                 pallas_conv1=self.pallas_conv1,
                 pallas_chain=self.pallas_chain,
+                int8=self.int8_encoder,
             )
         elif self.model_type == "resnet_lstm":
             self.encoder = ResNetEncoder(
@@ -151,6 +153,7 @@ def build_model(cfg: Config, vocab_size: int) -> Seq2SeqModel:
         fused_conv_pool=cfg.hardware.fused_conv_pool,
         pallas_conv1=getattr(cfg.hardware, "pallas_conv1", False),
         pallas_chain=getattr(cfg.hardware, "pallas_chain", False),
+        int8_encoder=getattr(cfg.hardware, "int8_encoder", False),
         resnet_name=cfg.model.encoder.resnet.model_name,
         dtype=dtype,
         param_dtype=param_dtype,

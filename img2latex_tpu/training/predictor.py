@@ -68,6 +68,7 @@ class Predictor:
         batch_size: int = 16,
         use_pallas_conv1: Optional[bool] = None,
         use_pallas_chain: Optional[bool] = None,
+        use_int8_encoder: Optional[bool] = None,
     ) -> "Predictor":
         """Rebuild config, tokenizer, model and weights from one checkpoint
         directory (the contract of reference ``predictor.py:61-137``)."""
@@ -99,6 +100,11 @@ class Predictor:
         # on-chip win is recorded (scripts/bench_encoder_chain.py).
         if use_pallas_chain is not None:
             cfg.hardware.pallas_chain = use_pallas_chain
+        # int8 conv blocks (hardware.int8_encoder) are numerically
+        # approximate — never force-enabled; opt in explicitly after checking
+        # the checkpoint's quality delta (scripts/ab_pallas_decode.py --int8).
+        if use_int8_encoder is not None:
+            cfg.hardware.int8_encoder = use_int8_encoder
         tokenizer = LaTeXTokenizer.from_config(meta["tokenizer_config"])
         model = build_model(cfg, tokenizer.vocab_size)
         params = state["params"]

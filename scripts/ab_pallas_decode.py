@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--chain", action="store_true",
                     help="include hardware.pallas_chain in the 'full' variant")
+    ap.add_argument("--int8", action="store_true",
+                    help="add an 'int8' variant (hardware.int8_encoder under "
+                    "the shipped Pallas decode path)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -49,22 +52,27 @@ def main() -> None:
     from img2latex_tpu.training.evaluator import evaluate_checkpoint
     from img2latex_tpu.training.predictor import Predictor
 
-    def build(decode: bool, conv1: bool, chain: bool) -> Predictor:
+    def build(decode: bool, conv1: bool, chain: bool, int8: bool = False) -> Predictor:
         pred = Predictor.from_checkpoint(
-            args.ckpt, use_pallas_conv1=conv1, use_pallas_chain=chain
+            args.ckpt, use_pallas_conv1=conv1, use_pallas_chain=chain,
+            use_int8_encoder=int8,
         )
         pred.cfg.hardware.use_pallas_decode = decode
         return pred
 
     variants = {
-        "xla": (False, False, False),
-        "decode": (True, False, False),
-        "conv1": (False, True, False),
-        "full": (True, True, args.chain),
+        "xla": (False, False, False, False),
+        "decode": (True, False, False, False),
+        "conv1": (False, True, False, False),
+        "full": (True, True, args.chain, False),
     }
+    if args.int8:
+        # int8 conv blocks under the shipped decode path (conv1 stays the
+        # exact Pallas kernel; int8 covers blocks 2..n), vs the xla baseline.
+        variants["int8"] = (True, True, False, True)
     results = {}
-    for name, (decode, conv1, chain) in variants.items():
-        pred = build(decode, conv1, chain)
+    for name, (decode, conv1, chain, int8) in variants.items():
+        pred = build(decode, conv1, chain, int8)
         r = evaluate_checkpoint(
             args.ckpt,
             data_dir=args.data_dir,
