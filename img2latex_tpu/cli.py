@@ -152,7 +152,10 @@ def cmd_predict(args: argparse.Namespace) -> int:
             images.append(item)
     if not images:
         raise SystemExit("No images found")
-    predictor = Predictor.from_checkpoint(args.checkpoint, batch_size=args.batch_size)
+    predictor = Predictor.from_checkpoint(
+        args.checkpoint, batch_size=args.batch_size,
+        config_overrides=_parse_overrides(args),
+    )
     log_execution_params(
         logger,
         {"command": "predict", "checkpoint": args.checkpoint, "images": len(images),
@@ -216,6 +219,9 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
         batch_size=args.batch_size,
         max_batches=args.max_batches,
         output_dir=output_dir,
+        config_overrides={
+            k: v for k, v in _parse_overrides(args).items() if k != "data.data_dir"
+        },
     )
     print(json.dumps(result, indent=2))
     return 0
@@ -236,6 +242,7 @@ def cmd_serve(args: argparse.Namespace) -> int:
         port=args.port,
         batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms,
+        config_overrides=_parse_overrides(args),
     )
     return 0
 
@@ -362,6 +369,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Beam length-normalization exponent")
     pr.add_argument("--batch-size", type=int, default=16)
     pr.add_argument("--output", "-o", default=None, help="Write predictions JSON here")
+    pr.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="Dotted override applied to the checkpoint's config, "
+                         "e.g. hardware.int8_encoder=true")
     pr.set_defaults(func=cmd_predict)
 
     # evaluate
@@ -383,6 +393,9 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--batch-size", type=int, default=None)
     ev.add_argument("--max-batches", type=int, default=None)
     ev.add_argument("--output-dir", default=None)
+    ev.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="Dotted override applied to the checkpoint's config, "
+                         "e.g. hardware.use_pallas_decode=false")
     ev.set_defaults(func=cmd_evaluate)
 
     # visualize
@@ -393,6 +406,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--batch-size", type=int, default=None)
     sv.add_argument("--max-wait-ms", type=float, default=5.0,
                     help="Max time to wait for a batch to fill before decoding")
+    sv.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="Dotted override applied to the checkpoint's config, "
+                         "e.g. inference.early_exit=true")
     sv.set_defaults(func=cmd_serve)
 
     vz = sub.add_parser("visualize", help="Visualize experiment metrics")

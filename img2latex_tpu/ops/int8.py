@@ -29,9 +29,14 @@ conv1-kernel+int8 85.5 ms (0.87x).  The dynamic per-tensor abs-max adds a
 full HBM read of each block's input and the separate quantize pass adds a
 read+write — those extra passes of the chain's largest tensors cost more
 than the 2x int8 MXU rate saves (the blocks are less compute-bound than
-their FLOP count suggests).  See ``scripts/bench_int8_static.py`` for the
-static-scale formulation (quantize fused into the previous epilogue,
-int8 inter-block tensors = half the HBM bytes).
+their FLOP count suggests).  The static-scale formulation
+(``scripts/bench_int8_static.py``: calibrated scales, quantize fused into
+the previous epilogue, int8 inter-block tensors = half the HBM bytes) is
+no better — 88.1 ms (**0.835x**); and an int8 conv1 is unusable outright:
+its int8->int32 output cannot fuse with the pool, so XLA materializes
+s32[B,64,800,32] (20 GB at B=3072, OOM).  Conclusion: on this toolchain
+``lax.conv_general_dilated`` int8->int32 does not pay on these shapes;
+the flag stays a correctness-tested opt-in for future toolchains.
 
 Reference semantics covered: conv blocks of ``encoder.py:74-107``
 (conv 3x3 SAME + ReLU + maxpool) — numerically approximate by design.

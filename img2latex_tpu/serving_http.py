@@ -172,12 +172,15 @@ def serve(
     port: int = 8000,
     batch_size: Optional[int] = None,
     max_wait_ms: float = 5.0,
+    config_overrides: Optional[dict] = None,
 ) -> None:
     """Blocking entry point: checkpoint -> Predictor -> InferenceServer ->
     HTTP."""
     from img2latex_tpu.training.predictor import Predictor
 
-    predictor = Predictor.from_checkpoint(checkpoint, batch_size=batch_size or 16)
+    predictor = Predictor.from_checkpoint(
+        checkpoint, batch_size=batch_size or 16, config_overrides=config_overrides
+    )
     with InferenceServer(predictor, max_wait_ms=max_wait_ms) as inference:
         httpd = make_http_server(inference, host, port)
         bound_port = httpd.server_address[1]

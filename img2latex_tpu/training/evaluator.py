@@ -45,8 +45,11 @@ def evaluate_checkpoint(
     output_dir: Optional[str] = None,
     predictor: Optional[Predictor] = None,
     bucket_widths: Optional[Any] = None,
+    config_overrides: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
-    pred = predictor or Predictor.from_checkpoint(checkpoint_path)
+    pred = predictor or Predictor.from_checkpoint(
+        checkpoint_path, config_overrides=config_overrides
+    )
     cfg = pred.cfg
     if data_dir:
         cfg.data.data_dir = data_dir

@@ -69,9 +69,15 @@ class Predictor:
         use_pallas_conv1: Optional[bool] = None,
         use_pallas_chain: Optional[bool] = None,
         use_int8_encoder: Optional[bool] = None,
+        config_overrides: Optional[Dict[str, Any]] = None,
     ) -> "Predictor":
         """Rebuild config, tokenizer, model and weights from one checkpoint
-        directory (the contract of reference ``predictor.py:61-137``)."""
+        directory (the contract of reference ``predictor.py:61-137``).
+
+        ``config_overrides`` maps dotted config paths to values applied on
+        top of the checkpoint's embedded config (the CLI's ``--set`` for
+        predict/evaluate/serve) — they win over every flag default here,
+        including the inference-side pallas_conv1 enable."""
         ckpt_dir, found_step = ckpt_lib.resolve_checkpoint_path(path)
         state, meta = ckpt_lib.restore_checkpoint(
             ckpt_dir, step if step is not None else (found_step if found_step is not None else -1)
@@ -105,6 +111,11 @@ class Predictor:
         # the checkpoint's quality delta (scripts/ab_pallas_decode.py --int8).
         if use_int8_encoder is not None:
             cfg.hardware.int8_encoder = use_int8_encoder
+        if config_overrides:
+            from img2latex_tpu.config import set_by_path
+
+            for dotted, value in config_overrides.items():
+                set_by_path(cfg, dotted, value)
         tokenizer = LaTeXTokenizer.from_config(meta["tokenizer_config"])
         model = build_model(cfg, tokenizer.vocab_size)
         params = state["params"]

@@ -236,3 +236,33 @@ class TestBatchPredict:
         exp_dir = workdir / "outputs" / "cli_t"
         with pytest.raises(SystemExit):
             main(["predict", str(exp_dir / "checkpoints"), str(tmp_path)])
+
+    def test_set_overrides_reach_checkpoint_config(self, workdir, capsys):
+        """predict/evaluate --set applies dotted overrides on top of the
+        checkpoint's embedded config (hardware fast-path toggles are
+        reachable from the CLI, not just the Python API)."""
+        from img2latex_tpu.training.predictor import Predictor
+
+        ckpt = str(workdir / "outputs" / "cli_t" / "checkpoints")
+        pred = Predictor.from_checkpoint(
+            ckpt, config_overrides={"hardware.int8_encoder": True}
+        )
+        assert pred.cfg.hardware.int8_encoder is True
+        assert pred.model.int8_encoder is True  # reached build_model
+        # overrides win over the inference-side pallas_conv1 enable
+        pred2 = Predictor.from_checkpoint(
+            ckpt, config_overrides={"hardware.pallas_conv1": False}
+        )
+        assert pred2.cfg.hardware.pallas_conv1 is False
+
+        img = sorted((workdir / "data" / "img").iterdir())[0]
+        rc = main(["predict", ckpt, str(img), "--set", "hardware.int8_encoder=true"])
+        assert rc == 0
+        capsys.readouterr()
+        rc = main([
+            "evaluate", ckpt, "--data-dir", str(workdir / "data"),
+            "--split", "test", "--max-batches", "1",
+            "--set", "hardware.use_pallas_decode=false",
+        ])
+        assert rc == 0
+        assert "token_accuracy" in capsys.readouterr().out
