@@ -271,6 +271,11 @@ class HardwareConfig:
     # the training step.  Quality deltas per checkpoint recorded by
     # scripts/ab_pallas_decode.py --int8.
     int8_encoder: bool = False
+    # Debug/test: run the Pallas decode kernels in interpret mode and skip
+    # the TPU-backend gate, so the Predictor's kernel wiring (incl. the
+    # sharded shard_map paths) is exercisable on CPU.  Never set in
+    # production — interpret mode is orders of magnitude slower.
+    pallas_interpret: bool = False
 
 
 @dataclass

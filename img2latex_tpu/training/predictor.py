@@ -251,14 +251,21 @@ class Predictor:
                 full = jnp.concatenate([feats, tail], axis=2)
                 return model.apply(vs, full, method=Seq2SeqModel.encode_from_features)
 
-        # Fused-Pallas fast paths (hardware.use_pallas_decode): vector memory;
-        # greedy, beam, and temperature+top-k sampling each have a whole-
-        # decode kernel.  Top-p needs a full sort — scan path only.
+        # Fused-Pallas fast paths (hardware.use_pallas_decode): greedy, beam,
+        # and temperature+top-k sampling each have a whole-decode kernel for
+        # BOTH memory kinds — vector (ops/pallas/decode_step.py,
+        # beam_decode.py) and grid (in-kernel additive attention over the
+        # VMEM-resident feature grid, ops/pallas/grid_decode.py).  Top-p
+        # needs a full sort — scan path only.
+        mem_kind = getattr(self.cfg.model, "memory", "vector")
+        # hardware.pallas_interpret: debug/test mode — run the kernels in
+        # interpret mode on any backend (exercises this wiring on CPU).
+        interp = getattr(self.cfg.hardware, "pallas_interpret", False)
         use_pallas_family = (
             self.cfg.hardware.use_pallas_decode
-            and getattr(self.cfg.model, "memory", "vector") == "vector"
+            and mem_kind in ("vector", "grid")
             # TPU-only (Mosaic kernel); "axon" = tunneled-TPU plugin backend.
-            and jax.default_backend() in ("tpu", "axon")
+            and (jax.default_backend() in ("tpu", "axon") or interp)
         )
         use_pallas = use_pallas_family and dcfg.beam_size == 0 and not dcfg.sampling
         use_pallas_beam = use_pallas_family and dcfg.beam_size > 0 and not dcfg.sampling
@@ -278,21 +285,52 @@ class Predictor:
 
             packed = pack_decoder_weights(self._variables(), self.tokenizer.vocab_size, dtype)
 
-            def sample_kernel_path(pk, memory_vec, seed):
-                # Whole-decode sampling kernel: temperature folded into the
-                # vocab projection, in-kernel top-k mask + Gumbel-max draw.
-                return pallas_full_sample_decode(
-                    pk,
-                    memory_vec,
-                    dcfg.max_length,
-                    dcfg.start_id,
-                    dcfg.end_id,
-                    dcfg.pad_id,
-                    top_k=dcfg.top_k,
-                    seed=seed,
-                    temperature=dcfg.temperature,
-                    early_exit=dcfg.early_exit,
+            if mem_kind == "grid":
+                from img2latex_tpu.ops.pallas.grid_decode import (
+                    pack_attention_weights,
+                    pallas_full_grid_sample_decode,
                 )
+
+                weights = (packed, pack_attention_weights(self._variables(), dtype))
+
+                def sample_kernel_path(wts, memory, seed):
+                    # Grid kernel: in-kernel attention over the full (B,S,E)
+                    # memory; the memory-side projection U precomputes in XLA.
+                    pk, att = wts
+                    return pallas_full_grid_sample_decode(
+                        pk,
+                        att,
+                        memory,
+                        dcfg.max_length,
+                        dcfg.start_id,
+                        dcfg.end_id,
+                        dcfg.pad_id,
+                        top_k=dcfg.top_k,
+                        seed=seed,
+                        temperature=dcfg.temperature,
+                        early_exit=dcfg.early_exit,
+                        interpret=interp,
+                    )
+
+            else:
+                weights = packed
+
+                def sample_kernel_path(wts, memory, seed):
+                    # Whole-decode sampling kernel: temperature folded into the
+                    # vocab projection, in-kernel top-k mask + Gumbel-max draw.
+                    return pallas_full_sample_decode(
+                        wts,
+                        memory[:, 0, :],
+                        dcfg.max_length,
+                        dcfg.start_id,
+                        dcfg.end_id,
+                        dcfg.pad_id,
+                        top_k=dcfg.top_k,
+                        seed=seed,
+                        temperature=dcfg.temperature,
+                        early_exit=dcfg.early_exit,
+                        interpret=interp,
+                    )
 
             if mesh is None:
 
@@ -300,16 +338,16 @@ class Predictor:
                 def run_sample(images_u8, rng):
                     memory = encode_fn(variables, images_u8)
                     seed = jax.random.bits(rng, dtype=jnp.uint32).astype(jnp.int32)
-                    return sample_kernel_path(packed, memory[:, 0, :], seed)
+                    return sample_kernel_path(weights, memory, seed)
 
             else:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                def shard_sample(pk, memory_vec, seed):
+                def shard_sample(wts, memory, seed):
                     # decorrelate shards: offset the seed by the data-axis
                     # coordinate so each chip draws a distinct stream
                     seed = seed + jax.lax.axis_index("data").astype(jnp.int32) * 7919
-                    return sample_kernel_path(pk, memory_vec, seed)
+                    return sample_kernel_path(wts, memory, seed)
 
                 local = jax.shard_map(
                     shard_sample,
@@ -324,7 +362,7 @@ class Predictor:
                 def run_sample(images_u8, rng):
                     memory = encode_fn(variables, images_u8)
                     seed = jax.random.bits(rng, dtype=jnp.uint32).astype(jnp.int32)
-                    return local(packed, memory[:, 0, :], seed)
+                    return local(weights, memory, seed)
 
             self._jit_cache[key] = run_sample
             return run_sample
@@ -335,20 +373,42 @@ class Predictor:
 
             packed = pack_decoder_weights(self._variables(), self.tokenizer.vocab_size, dtype)
 
-            def beam_kernel_path(pk, memory_vec):
-                # Whole-beam-decode in one kernel: weights VMEM-resident
-                # across all steps; in-kernel K*V top-k + carry gathers.
-                tokens, _scores = pallas_full_beam_decode(
-                    pk, memory_vec, dcfg.beam_size, dcfg, early_exit=dcfg.early_exit
+            if mem_kind == "grid":
+                from img2latex_tpu.ops.pallas.grid_decode import (
+                    pack_attention_weights,
+                    pallas_full_grid_beam_decode,
                 )
-                return tokens
+
+                weights = (packed, pack_attention_weights(self._variables(), dtype))
+
+                def beam_kernel_path(wts, memory):
+                    # Grid whole-beam kernel: per-beam in-kernel attention
+                    # over the VMEM-resident memory (ops/pallas/grid_decode).
+                    pk, att = wts
+                    tokens, _scores = pallas_full_grid_beam_decode(
+                        pk, att, memory, dcfg.beam_size, dcfg,
+                        early_exit=dcfg.early_exit, interpret=interp,
+                    )
+                    return tokens
+
+            else:
+                weights = packed
+
+                def beam_kernel_path(wts, memory):
+                    # Whole-beam-decode in one kernel: weights VMEM-resident
+                    # across all steps; in-kernel K*V top-k + carry gathers.
+                    tokens, _scores = pallas_full_beam_decode(
+                        wts, memory[:, 0, :], dcfg.beam_size, dcfg,
+                        early_exit=dcfg.early_exit, interpret=interp,
+                    )
+                    return tokens
 
             if mesh is None:
 
                 @jax.jit
                 def run_beam(images_u8, rng):
                     memory = encode_fn(variables, images_u8)
-                    return beam_kernel_path(packed, memory[:, 0, :])
+                    return beam_kernel_path(weights, memory)
 
             else:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -365,7 +425,7 @@ class Predictor:
                 @partial(jax.jit, in_shardings=(data_sh, None), out_shardings=data_sh)
                 def run_beam(images_u8, rng):
                     memory = encode_fn(variables, images_u8)
-                    return local(packed, memory[:, 0, :])
+                    return local(weights, memory)
 
             self._jit_cache[key] = run_beam
             return run_beam
@@ -378,27 +438,56 @@ class Predictor:
 
             packed = pack_decoder_weights(self._variables(), self.tokenizer.vocab_size, dtype)
 
-            def pallas_kernel(pk, memory_vec):
-                # Whole-decode-in-one-kernel: weights stay VMEM-resident
-                # across all steps (1.8x the scanned step kernel at B=256,
-                # measured on a v5e chip; batches >256 are tiled inside).
-                # early_exit: in-kernel all-finished bailout (per tile).
-                return pallas_full_greedy_decode(
-                    pk,
-                    memory_vec,
-                    dcfg.max_length,
-                    dcfg.start_id,
-                    dcfg.end_id,
-                    dcfg.pad_id,
-                    early_exit=dcfg.early_exit,
+            if mem_kind == "grid":
+                from img2latex_tpu.ops.pallas.grid_decode import (
+                    pack_attention_weights,
+                    pallas_full_grid_greedy_decode,
                 )
+
+                weights = (packed, pack_attention_weights(self._variables(), dtype))
+
+                def pallas_kernel(wts, memory):
+                    # Grid whole-decode kernel: memory + precomputed attention
+                    # projection stay VMEM-resident across all steps
+                    # (ops/pallas/grid_decode.py).
+                    pk, att = wts
+                    return pallas_full_grid_greedy_decode(
+                        pk,
+                        att,
+                        memory,
+                        dcfg.max_length,
+                        dcfg.start_id,
+                        dcfg.end_id,
+                        dcfg.pad_id,
+                        early_exit=dcfg.early_exit,
+                        interpret=interp,
+                    )
+
+            else:
+                weights = packed
+
+                def pallas_kernel(wts, memory):
+                    # Whole-decode-in-one-kernel: weights stay VMEM-resident
+                    # across all steps (1.8x the scanned step kernel at B=256,
+                    # measured on a v5e chip; batches >256 are tiled inside).
+                    # early_exit: in-kernel all-finished bailout (per tile).
+                    return pallas_full_greedy_decode(
+                        wts,
+                        memory[:, 0, :],
+                        dcfg.max_length,
+                        dcfg.start_id,
+                        dcfg.end_id,
+                        dcfg.pad_id,
+                        early_exit=dcfg.early_exit,
+                        interpret=interp,
+                    )
 
             if mesh is None:
 
                 @jax.jit
                 def run_pallas(images_u8, rng):
                     memory = encode_fn(variables, images_u8)
-                    return pallas_kernel(packed, memory[:, 0, :])
+                    return pallas_kernel(weights, memory)
 
             else:
                 # Pallas kernels are per-device programs — the encoder runs
@@ -418,7 +507,7 @@ class Predictor:
                 @partial(jax.jit, in_shardings=(data_sh, None), out_shardings=data_sh)
                 def run_pallas(images_u8, rng):
                     memory = encode_fn(variables, images_u8)
-                    return local(packed, memory[:, 0, :])
+                    return local(weights, memory)
 
             self._jit_cache[key] = run_pallas
             return run_pallas
