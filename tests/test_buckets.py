@@ -182,3 +182,22 @@ class TestBucketedEvaluate:
         assert bucketed["num_images"] == fixed["num_images"]
         assert bucketed["bleu"] == pytest.approx(fixed["bleu"], abs=1e-9)
         assert bucketed["levenshtein"] == pytest.approx(fixed["levenshtein"], abs=1e-9)
+
+
+class TestBucketedPallasWiring:
+    @pytest.mark.parametrize("memory", ["vector", "grid"])
+    def test_bucketed_kernel_path_equals_fixed(self, memory):
+        """Bucketed decode composes with the Pallas kernel fast paths
+        (hardware.pallas_interpret exercises the kernel wiring on CPU):
+        bucket-width executables + whole-decode kernels = fixed-canvas
+        scan output, exactly."""
+        pred, cfg = _predictor(memory)
+        imgs = _content_images([40, 90, 150], h=32)
+        fixed = pred.predict_batch(imgs, return_ids=True, beam_size=0)
+        cfg.hardware.use_pallas_decode = True
+        cfg.hardware.pallas_interpret = True
+        pred._jit_cache.clear()
+        bucketed = pred.predict_batch(
+            imgs, return_ids=True, beam_size=0, bucket_widths=[64, 128]
+        )
+        assert fixed == bucketed
