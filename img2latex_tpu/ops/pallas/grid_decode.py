@@ -343,7 +343,17 @@ def grid_vmem_bytes_estimate(packed: Dict[str, Any], att: Dict[str, Any], batch:
     return int(total)
 
 
-def _auto_tile(packed, att, S: int, budget_bytes: int = 96 * 1024 * 1024) -> int:
+def _vmem_budget_bytes() -> int:
+    """Default 96 MiB (v5e-class VMEM is 128 MiB; leave headroom for Mosaic
+    temporaries).  Override with IMG2LATEX_VMEM_BUDGET_MB on parts with
+    smaller VMEM — the tile shrinks, semantics are unchanged (tested)."""
+    import os
+
+    return int(os.environ.get("IMG2LATEX_VMEM_BUDGET_MB", "96")) * 1024 * 1024
+
+
+def _auto_tile(packed, att, S: int, budget_bytes: int = 0) -> int:
+    budget_bytes = budget_bytes or _vmem_budget_bytes()
     for tile in (256, 128, 64, 32, 16, 8):
         if grid_vmem_bytes_estimate(packed, att, tile, S) <= budget_bytes:
             return tile
@@ -605,7 +615,8 @@ def grid_beam_vmem_bytes_estimate(
     return int(total)
 
 
-def _auto_tile_beam(packed, att, S: int, K: int, budget_bytes: int = 96 * 1024 * 1024) -> int:
+def _auto_tile_beam(packed, att, S: int, K: int, budget_bytes: int = 0) -> int:
+    budget_bytes = budget_bytes or _vmem_budget_bytes()
     tile = max(8, 256 // K)
     while tile > 8 and grid_beam_vmem_bytes_estimate(packed, att, tile, S, K) > budget_bytes:
         tile //= 2
