@@ -41,6 +41,33 @@ logger = get_logger(__name__)
 ImageLike = Union[str, np.ndarray, "jnp.ndarray", Any]
 
 
+def _split_static(tree):
+    """Split packed-weight trees (dicts / tuples of dicts) into array leaves
+    and static Python scalars.  The packers emit metadata ints (num_layers,
+    vocab_padded, ...) alongside the arrays; passing those through shard_map
+    turns them into tracers and the kernel wrappers' ``int(...)`` calls
+    fail — statics must ride the closure instead."""
+    if isinstance(tree, dict):
+        arrs, statics = {}, {}
+        for k, v in tree.items():
+            (statics if isinstance(v, (int, float, str, bool)) else arrs)[k] = v
+        return arrs, statics
+    if isinstance(tree, tuple):
+        pairs = [_split_static(t) for t in tree]
+        return tuple(p[0] for p in pairs), tuple(p[1] for p in pairs)
+    return tree, None
+
+
+def _merge_static(arrs, statics):
+    if isinstance(arrs, dict):
+        out = dict(arrs)
+        out.update(statics or {})
+        return out
+    if isinstance(arrs, tuple):
+        return tuple(_merge_static(a, s) for a, s in zip(arrs, statics))
+    return arrs
+
+
 class Predictor:
     def __init__(
         self,
@@ -343,11 +370,13 @@ class Predictor:
             else:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
+                w_arrays, w_static = _split_static(weights)
+
                 def shard_sample(wts, memory, seed):
                     # decorrelate shards: offset the seed by the data-axis
                     # coordinate so each chip draws a distinct stream
                     seed = seed + jax.lax.axis_index("data").astype(jnp.int32) * 7919
-                    return sample_kernel_path(wts, memory, seed)
+                    return sample_kernel_path(_merge_static(wts, w_static), memory, seed)
 
                 local = jax.shard_map(
                     shard_sample,
@@ -362,7 +391,7 @@ class Predictor:
                 def run_sample(images_u8, rng):
                     memory = encode_fn(variables, images_u8)
                     seed = jax.random.bits(rng, dtype=jnp.uint32).astype(jnp.int32)
-                    return local(weights, memory, seed)
+                    return local(w_arrays, memory, seed)
 
             self._jit_cache[key] = run_sample
             return run_sample
@@ -413,8 +442,13 @@ class Predictor:
             else:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
+                w_arrays, w_static = _split_static(weights)
+
+                def shard_beam(wts, memory):
+                    return beam_kernel_path(_merge_static(wts, w_static), memory)
+
                 local = jax.shard_map(
-                    beam_kernel_path,
+                    shard_beam,
                     mesh=mesh,
                     in_specs=(P(), P("data")),
                     out_specs=P("data"),
@@ -425,7 +459,7 @@ class Predictor:
                 @partial(jax.jit, in_shardings=(data_sh, None), out_shardings=data_sh)
                 def run_beam(images_u8, rng):
                     memory = encode_fn(variables, images_u8)
-                    return local(weights, memory)
+                    return local(w_arrays, memory)
 
             self._jit_cache[key] = run_beam
             return run_beam
@@ -495,8 +529,13 @@ class Predictor:
                 # shard_map so each chip decodes its local batch shard.
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
+                w_arrays, w_static = _split_static(weights)
+
+                def shard_greedy(wts, memory):
+                    return pallas_kernel(_merge_static(wts, w_static), memory)
+
                 local = jax.shard_map(
-                    pallas_kernel,
+                    shard_greedy,
                     mesh=mesh,
                     in_specs=(P(), P("data")),
                     out_specs=P("data"),
@@ -507,7 +546,7 @@ class Predictor:
                 @partial(jax.jit, in_shardings=(data_sh, None), out_shardings=data_sh)
                 def run_pallas(images_u8, rng):
                     memory = encode_fn(variables, images_u8)
-                    return local(weights, memory)
+                    return local(w_arrays, memory)
 
             self._jit_cache[key] = run_pallas
             return run_pallas

@@ -310,3 +310,59 @@ class TestPredictorMesh:
         ids_m = pred_m.predict_batch(list(imgs), return_ids=True, beam_size=3)
         ids_s = pred_s.predict_batch(list(imgs), return_ids=True, beam_size=3)
         assert ids_m == ids_s
+
+
+class TestPredictorMeshPallas:
+    """Sharded Pallas kernel paths (shard_map around the whole-decode
+    kernels, incl. the grid tuple-weights plumbing) — exercised on the
+    virtual 8-device mesh in interpret mode (hardware.pallas_interpret)."""
+
+    def _predictor(self, memory, use_mesh, vocab=32, B=8):
+        from img2latex_tpu.data.tokenizer import LaTeXTokenizer
+        from img2latex_tpu.training.predictor import Predictor
+
+        cfg = tiny_cfg()
+        cfg.model.memory = memory
+        cfg.hardware.use_mesh = use_mesh
+        cfg.hardware.use_pallas_decode = True
+        cfg.hardware.pallas_interpret = True
+        cfg.hardware.pallas_conv1 = False
+        model = build_model(cfg, vocab)
+        h, w, c = cfg.image_shape
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((2, h, w, c)), jnp.zeros((2, 5), jnp.int32)
+        )
+        tok = LaTeXTokenizer(max_sequence_length=12)
+        tok.default_init()
+        return Predictor(cfg, model, params["params"], {}, tok, batch_size=B), cfg
+
+    @pytest.mark.parametrize("memory", ["vector", "grid"])
+    def test_sharded_kernel_greedy_matches_single(self, memory):
+        pred_m, cfg = self._predictor(memory, use_mesh=None)
+        pred_s, _ = self._predictor(memory, use_mesh=False)
+        h, w, c = cfg.image_shape
+        imgs = np.random.default_rng(0).integers(0, 256, size=(8, h, w, c), dtype=np.uint8)
+        ids_m = pred_m.predict_batch(list(imgs), return_ids=True, beam_size=0)
+        ids_s = pred_s.predict_batch(list(imgs), return_ids=True, beam_size=0)
+        assert ids_m == ids_s
+
+    @pytest.mark.parametrize("memory", ["vector", "grid"])
+    def test_sharded_kernel_beam_matches_single(self, memory):
+        pred_m, cfg = self._predictor(memory, use_mesh=None)
+        pred_s, _ = self._predictor(memory, use_mesh=False)
+        h, w, c = cfg.image_shape
+        imgs = np.random.default_rng(1).integers(0, 256, size=(8, h, w, c), dtype=np.uint8)
+        ids_m = pred_m.predict_batch(list(imgs), return_ids=True, beam_size=3)
+        ids_s = pred_s.predict_batch(list(imgs), return_ids=True, beam_size=3)
+        assert ids_m == ids_s
+
+    def test_sharded_kernel_sampling_runs(self):
+        pred, cfg = self._predictor("grid", use_mesh=None)
+        h, w, c = cfg.image_shape
+        imgs = np.random.default_rng(2).integers(0, 256, size=(8, h, w, c), dtype=np.uint8)
+        out = pred.predict_batch(
+            list(imgs), return_ids=True, temperature=0.8, top_k=4, seed=3
+        )
+        assert len(out) == 8
+        for seq in out:
+            assert all(0 <= t < pred.tokenizer.vocab_size for t in seq)
