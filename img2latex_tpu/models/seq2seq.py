@@ -116,9 +116,18 @@ class Seq2SeqModel(nn.Module):
 
     # ------------------------------------------------------------------
     def decode_step(
-        self, memory: jnp.ndarray, token: jnp.ndarray, carry: Carry
+        self,
+        memory: jnp.ndarray,
+        token: jnp.ndarray,
+        carry: Carry,
+        mem_proj: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Carry]:
-        return self.decoder.decode_step(memory, token, carry)
+        return self.decoder.decode_step(memory, token, carry, mem_proj=mem_proj)
+
+    def memory_proj(self, memory: jnp.ndarray) -> Optional[jnp.ndarray]:
+        """Step-invariant attention memory projection for decode loops —
+        compute once per batch, pass to every :meth:`decode_step` call."""
+        return self.decoder.memory_proj(memory)
 
     def init_carry(self, batch_size: int) -> Carry:
         return self.decoder.init_carry(batch_size)

@@ -553,14 +553,20 @@ class Predictor:
 
         def run_impl(images_u8: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
             memory = encode_fn(variables, images_u8)
+            # Hoist the step-invariant memory-side attention projection out
+            # of the decode scan (grid memory; None otherwise) — explicit
+            # hoist, see models/decoder.py::_SplitConcatDense.
+            mem_proj = model.apply(variables, memory, method=Seq2SeqModel.memory_proj)
 
             if dcfg.beam_size > 0:
                 K = dcfg.beam_size
                 mem_exp = jnp.repeat(memory, K, axis=0)  # (B*K, S, E)
+                proj_exp = None if mem_proj is None else jnp.repeat(mem_proj, K, axis=0)
 
                 def step_fn(tokens, carry):
                     return model.apply(
-                        variables, mem_exp, tokens, carry, method=Seq2SeqModel.decode_step
+                        variables, mem_exp, tokens, carry, proj_exp,
+                        method=Seq2SeqModel.decode_step,
                     )
 
                 carry0 = (
@@ -572,7 +578,8 @@ class Predictor:
 
             def step_fn(tokens, carry):
                 return model.apply(
-                    variables, memory, tokens, carry, method=Seq2SeqModel.decode_step
+                    variables, memory, tokens, carry, mem_proj,
+                    method=Seq2SeqModel.decode_step,
                 )
 
             carry0 = (

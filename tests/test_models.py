@@ -199,13 +199,42 @@ class TestDecoder:
     def test_attention_weights_sum_to_one(self):
         from img2latex_tpu.models.decoder import AdditiveAttention
 
-        att = AdditiveAttention(hidden_dim=self.H)
+        att = AdditiveAttention(hidden_dim=self.H, mem_dim=self.E)
         h = jnp.array(np.random.default_rng(2).normal(size=(3, self.H)), dtype=jnp.float32)
         mem = jnp.array(np.random.default_rng(3).normal(size=(3, 7, self.E)), dtype=jnp.float32)
         params = att.init(jax.random.PRNGKey(0), h, mem)
         ctx, w = att.apply(params, h, mem)
         assert ctx.shape == (3, self.E)
         np.testing.assert_allclose(np.asarray(w.sum(-1)), np.ones(3), atol=1e-6)
+
+    def test_split_attention_equals_concat_dense(self):
+        """The split matmul (hoistable memory half) reproduces the reference
+        formulation v . tanh(Dense([h; m_s])) with the SAME (H+E, A) kernel
+        (reference decoder.py:309-343)."""
+        from img2latex_tpu.models.decoder import AdditiveAttention
+
+        att = AdditiveAttention(hidden_dim=self.H, mem_dim=self.E)
+        rng = np.random.default_rng(4)
+        h = jnp.array(rng.normal(size=(3, self.H)), dtype=jnp.float32)
+        mem = jnp.array(rng.normal(size=(3, 7, self.E)), dtype=jnp.float32)
+        params = att.init(jax.random.PRNGKey(1), h, mem)
+        kern = params["params"]["attn"]["kernel"]  # (H+E, A)
+        bias = params["params"]["attn"]["bias"]
+        v = params["params"]["v"]["kernel"][:, 0]
+        assert kern.shape == (self.H + self.E, self.H)
+        h_rep = jnp.broadcast_to(h[:, None, :], (3, 7, self.H))
+        energy = jnp.tanh(jnp.concatenate([h_rep, mem], axis=-1) @ kern + bias)
+        scores = energy @ v
+        w_ref = jax.nn.softmax(scores, axis=-1)
+        ctx_ref = jnp.einsum("bs,bse->be", w_ref, mem)
+        ctx, w = att.apply(params, h, mem)
+        np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=1e-5)
+        # hoisted-projection call path is identical
+        u = att.apply(params, mem, method=AdditiveAttention.memory_proj)
+        ctx2, w2 = att.apply(params, h, mem, mem_proj=u)
+        np.testing.assert_array_equal(np.asarray(ctx), np.asarray(ctx2))
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(w2))
 
 
 class TestSeq2Seq:
