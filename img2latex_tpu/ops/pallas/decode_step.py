@@ -390,6 +390,85 @@ def pallas_full_greedy_decode(
     return tokens[:B]
 
 
+def _sample_next_token(
+    logits: jnp.ndarray,  # (B, Vp) f32, temperature pre-folded
+    col_i: jnp.ndarray,  # (B, Vp) i32 column iota
+    top_k: int,
+    top_p: float,
+    u: jnp.ndarray,  # (B, Vp) f32 uniform draws
+) -> jnp.ndarray:
+    """In-kernel filtered categorical draw -> (B, 1) int32.
+
+    Matches ``decode._next_token_probs`` (reference ``predictor.py:294-335``)
+    exactly:
+
+    * top-k: keep the k best logits, duplicates counted separately
+      (``lax.top_k`` semantics) via ``top_k`` iterative (max, argmax, mask)
+      passes;
+    * top-p: keep the smallest descending-prob prefix whose strictly-
+      preceding cumulative mass is <= p (always keeping the best), with
+      prob ties resolved lowest-index-first — the stable-argsort order of
+      ``decode.filter_top_p``.  Computed over the *unrenormalized* softmax
+      probs of the top-k survivors (the reference filters probs, not
+      logits, so the nucleus mass is measured at the original scale).
+      No sort: a ``while_loop`` iteratively extracts the max-prob token
+      while any row's kept mass is still <= p — trips = the largest
+      nucleus size in the tile (small for trained, peaky models; bounded
+      by Vp in the uniform worst case);
+    * draw: ``argmax(log kept_probs + Gumbal)`` — Gumbel-max samples the
+      renormalized kept distribution exactly (normalization is a constant
+      shift in log space).
+    """
+    NEGf = jnp.float32(NEG_INF)
+    kth = None
+    if top_k > 0:
+        cur = logits
+        for _ in range(top_k):
+            kth = jnp.max(cur, axis=-1, keepdims=True)
+            arg = jnp.argmax(cur, axis=-1, keepdims=True).astype(jnp.int32)
+            cur = jnp.where(col_i == arg, NEGf, cur)
+    if top_p > 0.0:
+        Vp = logits.shape[-1]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)  # (B, Vp) f32
+        if top_k > 0:
+            probs = jnp.where(logits >= kth, probs, jnp.float32(0.0))
+        B = logits.shape[0]
+        keep0 = jnp.zeros(probs.shape, jnp.float32)
+        cum0 = jnp.zeros((B, 1), jnp.float32)
+
+        def n_cond(state):
+            _cur, _keep, cum, n = state
+            return jnp.logical_and(jnp.any(cum <= top_p), n < Vp)
+
+        def n_body(state):
+            cur_p, keep, cum, n = state
+            row_max = jnp.max(cur_p, axis=-1, keepdims=True)
+            row_arg = jnp.argmax(cur_p, axis=-1, keepdims=True).astype(jnp.int32)
+            active = (cum <= top_p).astype(jnp.float32)  # (B, 1) 0/1
+            sel = (col_i == row_arg).astype(jnp.float32) * active  # (B, Vp)
+            keep = jnp.maximum(keep, sel)
+            cum = cum + active * row_max  # strictly-preceding mass check above
+            cur_p = jnp.where(sel > 0.0, jnp.float32(-1.0), cur_p)
+            return cur_p, keep, cum, n + 1
+
+        # f32 0/1 keep mask + int counter: bool carries are Mosaic-hostile.
+        _, keep, _, _ = jax.lax.while_loop(n_cond, n_body, (probs, keep0, cum0, jnp.int32(0)))
+        # Zero-prob tokens can enter `keep` in the exhaustion tail (they add
+        # no mass, mirroring the reference where zeros are "kept" but can
+        # never be drawn) — exclude them from the draw explicitly.
+        masked = jnp.where(
+            jnp.logical_and(keep > 0.0, probs > 0.0),
+            jnp.log(jnp.maximum(probs, jnp.float32(1e-38))),
+            NEGf,
+        )
+    else:
+        masked = jnp.where(logits >= kth, logits, NEGf)
+    gumbel = -jnp.log(-jnp.log(u))
+    return jnp.argmax(masked + gumbel, axis=-1, keepdims=True).astype(jnp.int32)
+
+
 def _full_sample_kernel(
     num_layers: int,
     max_length: int,
@@ -397,23 +476,22 @@ def _full_sample_kernel(
     end_id: int,
     pad_id: int,
     top_k: int,
+    top_p: float,
     early_exit: bool,
     *refs,
 ):
-    """Whole-decode loop with **temperature + top-k sampling** in-kernel.
+    """Whole-decode loop with **temperature + top-k/top-p sampling** in-kernel.
 
     Same VMEM-resident-weights structure as :func:`_full_decode_kernel`;
-    the per-step token choice replaces argmax with the Gumbel-max trick
-    over top-k-masked logits (temperature is folded into ``w_out``/``b_out``
-    by the caller, so the kernel sees pre-scaled logits):
+    the per-step token choice replaces argmax with a Gumbel-max draw over
+    the filtered logits (temperature is folded into ``w_out``/``b_out`` by
+    the caller, so the kernel sees pre-scaled logits):
 
-    * k-th-largest threshold per row via ``top_k`` iterative (argmax, mask)
-      passes (duplicate values count separately — ``lax.top_k`` semantics,
-      matching ``decode.filter_top_k``); everything below it -> -1e30;
-    * ``argmax(masked + G)`` with ``G = -log(-log(U))`` Gumbel noise samples
-      exactly the renormalized top-k softmax (the scan path's categorical
-      draw, ``decode.py:134``) — same distribution, different RNG stream.
-      ``U`` comes from a counter-based integer hash of (seed, step, row,
+    * filtering (top-k threshold, top-p nucleus) and the draw live in
+      :func:`_sample_next_token` — exact ``decode._next_token_probs``
+      semantics, same distribution as the scan path's categorical draw but
+      a different RNG stream;
+    * ``U`` comes from a counter-based integer hash of (seed, step, row,
       col) (two rounds of xorshift-multiply, the "lowbias32" mixer) rather
       than ``pltpu.prng_random_bits``: plain uint32 VPU ops run identically
       in Mosaic and in interpret mode (the TPU PRNG primitives have no CPU
@@ -437,7 +515,6 @@ def _full_sample_kernel(
     B = ctx_ref.shape[0]
     Vp = emb_ref.shape[0]
     dtype = emb_ref.dtype
-    NEG = jnp.float32(-1e30)
 
     h_ref[...] = jnp.zeros_like(h_ref)
     c_ref[...] = jnp.zeros_like(c_ref)
@@ -491,17 +568,7 @@ def _full_sample_kernel(
             c_ref[layer] = c_new.astype(dtype)
             x = h_new.astype(dtype)
         logits = jnp.dot(x, w_out_ref[:], preferred_element_type=jnp.float32) + b_out_ref[:]
-        # k-th largest per row (ties count separately: mask one winner index
-        # per pass, lowest column on value ties — lax.top_k's rule).
-        cur = logits
-        kth = None
-        for _ in range(top_k):
-            kth = jnp.max(cur, axis=-1, keepdims=True)
-            arg = jnp.argmax(cur, axis=-1, keepdims=True).astype(jnp.int32)
-            cur = jnp.where(col == arg, NEG, cur)
-        masked = jnp.where(logits >= kth, logits, NEG)
-        gumbel = -jnp.log(-jnp.log(random_uniform(t)))
-        nxt = jnp.argmax(masked + gumbel, axis=-1, keepdims=True).astype(jnp.int32)
+        nxt = _sample_next_token(logits, col_i, top_k, top_p, random_uniform(t))
         out_tok = finished * jnp.int32(pad_id) + (1 - finished) * nxt
         finished = jnp.maximum(finished, (out_tok == end_id).astype(jnp.int32))
         out_ref[pl.ds(t, 1), :] = out_tok.reshape(1, B)
@@ -536,29 +603,30 @@ def pallas_full_sample_decode(
     top_k: int,
     seed,
     temperature: float = 1.0,
+    top_p: float = 0.0,
     interpret: bool = False,
     batch_tile: int = 256,
     early_exit: bool = False,
 ) -> jnp.ndarray:
-    """Temperature + top-k sampling variant of
+    """Temperature + top-k/top-p sampling variant of
     :func:`pallas_full_greedy_decode` (reference sampling semantics:
     ``predictor.py:294-335``; the scan equivalent is
-    ``decode.greedy_sample_decode`` with ``top_k > 0``).
+    ``decode.greedy_sample_decode`` with ``top_k > 0`` or ``top_p > 0``).
 
     ``temperature`` is folded into the vocab projection outside the kernel
     (``w_out/T``, ``b_out/T``) — algebraically identical to dividing the
     logits.  ``seed`` (int32 scalar or array) seeds the in-kernel TPU PRNG;
-    each batch tile reseeds with ``seed + tile_index``.  Top-p is NOT
-    supported in-kernel (needs a full sort); the Predictor routes top-p to
-    the scan path.
+    each batch tile reseeds with ``seed + tile_index``.  Top-p runs sort-free
+    in-kernel (iterative nucleus extraction, :func:`_sample_next_token`).
     """
-    assert top_k > 0, "use pallas_full_greedy_decode for argmax decoding"
+    assert top_k > 0 or top_p > 0.0, "use pallas_full_greedy_decode for argmax decoding"
     B = context.shape[0]
     L = int(packed["num_layers"])
     H = int(packed["hidden_dim"])
     dtype = packed["emb"].dtype
     kernel = functools.partial(
-        _full_sample_kernel, L, max_length, start_id, end_id, pad_id, int(top_k), early_exit
+        _full_sample_kernel,
+        L, max_length, start_id, end_id, pad_id, int(top_k), float(top_p), early_exit,
     )
     inv_t = jnp.float32(1.0 / temperature) if temperature not in (0.0, 1.0) else None
     w_out = packed["w_out"]

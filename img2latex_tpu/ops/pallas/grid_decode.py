@@ -51,7 +51,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from img2latex_tpu.ops.pallas.decode_step import _round_up
+from img2latex_tpu.ops.pallas.decode_step import _round_up, _sample_next_token
 
 NEG = -1e30
 
@@ -218,12 +218,14 @@ def _grid_sample_kernel(
     end_id: int,
     pad_id: int,
     top_k: int,
+    top_p: float,
     early_exit: bool,
     *refs,
 ):
-    """Temperature + top-k sampling variant (same RNG/top-k contract as
-    ``decode_step._full_sample_kernel``: int32 lowbias32 hash -> Gumbel-max
-    over the top-k-masked logits; temperature pre-folded into w_out/b_out).
+    """Temperature + top-k/top-p sampling variant (same RNG/filter contract
+    as ``decode_step._full_sample_kernel``: int32 lowbias32 hash -> Gumbel-max
+    over the filtered logits via ``_sample_next_token``; temperature
+    pre-folded into w_out/b_out).
 
     refs: [mem] [u] [emb] [w_ih_i w_hh_i b_i]*L [w_h] [v] [w_out] [b_out]
     [seed (1,1) i32 SMEM] -> out [tokens (T,B) i32]; scratch h, c."""
@@ -241,7 +243,6 @@ def _grid_sample_kernel(
     B = mem_ref.shape[0]
     Vp = emb_ref.shape[0]
     dtype = emb_ref.dtype
-    NEGf = jnp.float32(NEG)
 
     h_ref[...] = jnp.zeros_like(h_ref)
     c_ref[...] = jnp.zeros_like(c_ref)
@@ -286,15 +287,7 @@ def _grid_sample_kernel(
             c_ref[layer] = c_new.astype(dtype)
             x = h_new.astype(dtype)
         logits = jnp.dot(x, w_out_ref[:], preferred_element_type=jnp.float32) + b_out_ref[:]
-        cur = logits
-        kth = None
-        for _ in range(top_k):
-            kth = jnp.max(cur, axis=-1, keepdims=True)
-            arg = jnp.argmax(cur, axis=-1, keepdims=True).astype(jnp.int32)
-            cur = jnp.where(col_i == arg, NEGf, cur)
-        masked = jnp.where(logits >= kth, logits, NEGf)
-        gumbel = -jnp.log(-jnp.log(random_uniform(t)))
-        nxt = jnp.argmax(masked + gumbel, axis=-1, keepdims=True).astype(jnp.int32)
+        nxt = _sample_next_token(logits, col_i, top_k, top_p, random_uniform(t))
         out_tok = finished * jnp.int32(pad_id) + (1 - finished) * nxt
         finished = jnp.maximum(finished, (out_tok == end_id).astype(jnp.int32))
         out_ref[pl.ds(t, 1), :] = out_tok.reshape(1, B)
@@ -715,13 +708,14 @@ def pallas_full_grid_sample_decode(
     top_k: int,
     seed,
     temperature: float = 1.0,
+    top_p: float = 0.0,
     interpret: bool = False,
     batch_tile: int = 0,
     early_exit: bool = False,
 ) -> jnp.ndarray:
     """Grid-memory analog of ``pallas_full_sample_decode`` (temperature +
-    top-k + Gumbel-max; top-p routes to the scan path)."""
-    assert top_k > 0, "use pallas_full_grid_greedy_decode for argmax decoding"
+    top-k/top-p filtering + Gumbel-max, ``_sample_next_token``)."""
+    assert top_k > 0 or top_p > 0.0, "use pallas_full_grid_greedy_decode for argmax decoding"
     B, S, E = memory.shape
     L = int(packed["num_layers"])
     H = int(packed["hidden_dim"])
@@ -729,7 +723,8 @@ def pallas_full_grid_sample_decode(
     if batch_tile <= 0:
         batch_tile = _auto_tile(packed, att, S)
     kernel = functools.partial(
-        _grid_sample_kernel, L, max_length, start_id, end_id, pad_id, int(top_k), early_exit
+        _grid_sample_kernel,
+        L, max_length, start_id, end_id, pad_id, int(top_k), float(top_p), early_exit,
     )
     inv_t = jnp.float32(1.0 / temperature) if temperature not in (0.0, 1.0) else None
     w_out = packed["w_out"]

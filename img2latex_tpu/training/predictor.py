@@ -279,11 +279,11 @@ class Predictor:
                 return model.apply(vs, full, method=Seq2SeqModel.encode_from_features)
 
         # Fused-Pallas fast paths (hardware.use_pallas_decode): greedy, beam,
-        # and temperature+top-k sampling each have a whole-decode kernel for
-        # BOTH memory kinds — vector (ops/pallas/decode_step.py,
+        # and temperature+top-k/top-p sampling each have a whole-decode kernel
+        # for BOTH memory kinds — vector (ops/pallas/decode_step.py,
         # beam_decode.py) and grid (in-kernel additive attention over the
-        # VMEM-resident feature grid, ops/pallas/grid_decode.py).  Top-p
-        # needs a full sort — scan path only.
+        # VMEM-resident feature grid, ops/pallas/grid_decode.py).  Top-p runs
+        # sort-free in-kernel (iterative nucleus extraction).
         mem_kind = getattr(self.cfg.model, "memory", "vector")
         # hardware.pallas_interpret: debug/test mode — run the kernels in
         # interpret mode on any backend (exercises this wiring on CPU).
@@ -300,8 +300,7 @@ class Predictor:
             use_pallas_family
             and dcfg.sampling
             and dcfg.beam_size == 0
-            and dcfg.top_k > 0
-            and dcfg.top_p == 0.0
+            and (dcfg.top_k > 0 or dcfg.top_p > 0.0)
         )
 
         if use_pallas_sample:
@@ -335,6 +334,7 @@ class Predictor:
                         top_k=dcfg.top_k,
                         seed=seed,
                         temperature=dcfg.temperature,
+                        top_p=dcfg.top_p,
                         early_exit=dcfg.early_exit,
                         interpret=interp,
                     )
@@ -344,7 +344,8 @@ class Predictor:
 
                 def sample_kernel_path(wts, memory, seed):
                     # Whole-decode sampling kernel: temperature folded into the
-                    # vocab projection, in-kernel top-k mask + Gumbel-max draw.
+                    # vocab projection, in-kernel top-k/top-p filters +
+                    # Gumbel-max draw.
                     return pallas_full_sample_decode(
                         wts,
                         memory[:, 0, :],
@@ -355,6 +356,7 @@ class Predictor:
                         top_k=dcfg.top_k,
                         seed=seed,
                         temperature=dcfg.temperature,
+                        top_p=dcfg.top_p,
                         early_exit=dcfg.early_exit,
                         interpret=interp,
                     )

@@ -268,3 +268,106 @@ class TestFullSampleKernel:
             ends = np.nonzero(row == 2)[0]
             if len(ends):
                 assert (row[ends[0] + 1 :] == 0).all()
+
+
+class TestTopPSampleKernel:
+    """In-kernel nucleus (top-p) sampling: the sort-free iterative extraction
+    must reproduce ``decode.filter_top_p``'s kept set exactly."""
+
+    def _replay_support(self, setup, s, top_k, top_p, T):
+        """Oracle: replay the flax decode_step along the kernel's own token
+        path; every sampled token must be in the nonzero support of the scan
+        path's filter chain (softmax -> filter_top_k -> filter_top_p)."""
+        from img2latex_tpu.decoding.decode import filter_top_k, filter_top_p
+
+        cfg, model, params, memory, packed, V = setup
+        B = memory.shape[0]
+        carry = init_decoder_carry(2, B, 128)
+        toks = jnp.full((B,), 1, jnp.int32)
+        finished = np.zeros(B, bool)
+        for t in range(T):
+            logits, carry = model.apply(
+                params, memory, toks, carry, method=Seq2SeqModel.decode_step
+            )
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            if top_k > 0:
+                probs = filter_top_k(probs, top_k)
+            kept = np.asarray(filter_top_p(probs, top_p)) > 0
+            for b in range(B):
+                if finished[b]:
+                    assert s[b, t] == 0
+                else:
+                    assert kept[b, s[b, t]], (b, t, s[b, t])
+            finished |= s[:, t] == 2
+            toks = jnp.asarray(np.where(finished, 0, s[:, t]).astype(np.int32))
+
+    def test_topp_support_and_pad_absorption(self, setup):
+        from img2latex_tpu.ops.pallas.decode_step import pallas_full_sample_decode
+
+        cfg, model, params, memory, packed, V = setup
+        ctx = memory[:, 0, :]
+        T = 16
+        s = np.asarray(
+            pallas_full_sample_decode(
+                packed, ctx, T, 1, 2, 0, top_k=0, top_p=0.9, seed=31, interpret=True
+            )
+        )
+        self._replay_support(setup, s, 0, 0.9, T)
+
+    def test_topk_topp_composed_support(self, setup):
+        """top-k and top-p compose (reference order: k first, then nucleus
+        over the k survivors' original-scale probs)."""
+        from img2latex_tpu.ops.pallas.decode_step import pallas_full_sample_decode
+
+        cfg, model, params, memory, packed, V = setup
+        ctx = memory[:, 0, :]
+        T = 12
+        s = np.asarray(
+            pallas_full_sample_decode(
+                packed, ctx, T, 1, 2, 0, top_k=8, top_p=0.6, seed=57, interpret=True
+            )
+        )
+        self._replay_support(setup, s, 8, 0.6, T)
+
+    def test_tiny_p_equals_greedy(self, setup):
+        """p below the max prob keeps only the argmax token -> greedy."""
+        from img2latex_tpu.ops.pallas.decode_step import (
+            pallas_full_greedy_decode,
+            pallas_full_sample_decode,
+        )
+
+        cfg, model, params, memory, packed, V = setup
+        ctx = memory[:, 0, :]
+        s = pallas_full_sample_decode(
+            packed, ctx, 16, 1, 2, 0, top_k=0, top_p=1e-6, seed=9, interpret=True
+        )
+        g = pallas_full_greedy_decode(packed, ctx, 16, 1, 2, 0, interpret=True)
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(g))
+
+    def test_first_token_distribution_matches_nucleus_softmax(self, setup):
+        """Empirical first-token frequencies match the renormalized nucleus
+        distribution (Gumbel-max over log kept probs is exact)."""
+        from img2latex_tpu.decoding.decode import filter_top_p
+        from img2latex_tpu.ops.pallas.decode_step import pallas_full_sample_decode
+
+        cfg, model, params, memory, packed, V = setup
+        N, P = 1024, 0.7
+        ctx = jnp.broadcast_to(memory[:1, 0, :], (N, memory.shape[-1]))
+        s = np.asarray(
+            pallas_full_sample_decode(
+                packed, ctx, 1, 1, 2, 0, top_k=0, top_p=P, seed=101, interpret=True
+            )
+        )[:, 0]
+        carry = init_decoder_carry(2, 1, 128)
+        logits, _ = model.apply(
+            params, memory[:1], jnp.full((1,), 1, jnp.int32), carry,
+            method=Seq2SeqModel.decode_step,
+        )
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        p = np.asarray(filter_top_p(probs, P))[0]
+        p = p / p.sum()
+        keep_idx = np.nonzero(p > 0)[0]
+        assert np.isin(s, keep_idx).all()
+        for tok in keep_idx:
+            emp = float(np.mean(s == tok))
+            assert abs(emp - p[tok]) < 0.06, (tok, emp, p[tok])

@@ -227,6 +227,37 @@ class TestGridSampleKernel:
             finished |= s[:, t] == 2
             toks = jnp.asarray(np.where(finished, 0, s[:, t]).astype(np.int32))
 
+    def test_topp_support_and_pad_absorption(self, setup):
+        """Nucleus sampling in the grid kernel: sampled tokens stay inside
+        the scan filter chain's nonzero support (softmax -> filter_top_p),
+        finished rows emit PAD forever."""
+        from img2latex_tpu.decoding.decode import filter_top_p
+
+        cfg, model, params, memory, packed, att, V = setup
+        P, T = 0.85, 16
+        s = np.asarray(
+            pallas_full_grid_sample_decode(
+                packed, att, memory, T, 1, 2, 0, top_k=0, top_p=P, seed=211, interpret=True
+            )
+        )
+        B = memory.shape[0]
+        carry = init_decoder_carry(2, B, cfg.model.decoder.hidden_dim)
+        toks = jnp.full((B,), 1, jnp.int32)
+        finished = np.zeros(B, bool)
+        for t in range(T):
+            logits, carry = model.apply(
+                params, memory, toks, carry, method=Seq2SeqModel.decode_step
+            )
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            kept = np.asarray(filter_top_p(probs, P)) > 0
+            for b in range(B):
+                if finished[b]:
+                    assert s[b, t] == 0
+                else:
+                    assert kept[b, s[b, t]], (b, t, s[b, t])
+            finished |= s[:, t] == 2
+            toks = jnp.asarray(np.where(finished, 0, s[:, t]).astype(np.int32))
+
     def test_seed_changes_draws_and_tiling_runs(self, setup):
         cfg, model, params, memory, packed, att, V = setup
         a = np.asarray(

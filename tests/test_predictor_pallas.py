@@ -89,6 +89,19 @@ class TestPallasWiring:
         for seq in out:
             assert all(0 <= t < pred.tokenizer.vocab_size for t in seq)
 
+    def test_topp_sampling_support(self, memory):
+        """Top-p now routes to the sampling kernels too (sort-free in-kernel
+        nucleus); pin that the path engages and emits vocab-range tokens."""
+        pred = _predictor(memory)
+        pred.cfg.hardware.use_pallas_decode = True
+        pred.cfg.hardware.pallas_interpret = True
+        out = pred.predict_batch(
+            _images(), return_ids=True, temperature=0.9, top_p=0.8, seed=13
+        )
+        assert len(out) == 6
+        for seq in out:
+            assert all(0 <= t < pred.tokenizer.vocab_size for t in seq)
+
     def test_early_exit_matches(self, memory):
         pred = _predictor(memory)
         pred.cfg.hardware.use_pallas_decode = True
