@@ -57,8 +57,11 @@ def _beam_kernel(
     *refs,
 ):
     """refs: [ctx (Bt,E)] [emb (Vp,E)] [w_ih_i w_hh_i b_i]*L [w_out] [b_out (1,Vp)]
-    -> out [tok_seq (T, K*Bt) i32] [beam_seq (T, K*Bt) i32] [scores (K, Bt) f32]
+    -> out [tok_seq (T, K*Bt) i32] [beam_seq (T, K*Bt) i32] [scores (K*Bt, 1) f32]
     scratch: h (L, K*Bt, H), c (L, K*Bt, H)
+
+    Beam-major row layout throughout: row ``k*Bt + b`` is beam k of sample b
+    (the wrapper reshapes scores via ``(nc, K, Bt)``).
     """
     ctx_ref = refs[0]
     emb_ref = refs[1]

@@ -345,9 +345,17 @@ def _vmem_budget_bytes() -> int:
     return int(os.environ.get("IMG2LATEX_VMEM_BUDGET_MB", "96")) * 1024 * 1024
 
 
-def _auto_tile(packed, att, S: int, budget_bytes: int = 0) -> int:
+def _auto_tile(packed, att, S: int, budget_bytes: int = 0, batch: int = 0) -> int:
+    """Largest VMEM-fitting tile, capped at the (8-rounded) actual batch so a
+    small request (Predictor.predict B=1, default batch 16) never pads up to
+    a full 128/256-row tile and decodes zero-memory rows for max_length
+    steps — which would also defeat early_exit (padding rows never emit END,
+    so the in-kernel all-finished bailout could never trip)."""
     budget_bytes = budget_bytes or _vmem_budget_bytes()
-    for tile in (256, 128, 64, 32, 16, 8):
+    cap = max(8, _round_up(batch, 8)) if batch > 0 else 256
+    for tile in sorted({256, 128, 64, 32, 16, 8, cap}, reverse=True):
+        if tile > cap:
+            continue
         if grid_vmem_bytes_estimate(packed, att, tile, S) <= budget_bytes:
             return tile
     return 8
@@ -392,7 +400,7 @@ def pallas_full_grid_greedy_decode(
     H = int(packed["hidden_dim"])
     dtype = packed["emb"].dtype
     if batch_tile <= 0:
-        batch_tile = _auto_tile(packed, att, S)
+        batch_tile = _auto_tile(packed, att, S, batch=B)
     kernel = functools.partial(
         _grid_greedy_kernel, L, max_length, start_id, end_id, pad_id, early_exit
     )
@@ -608,9 +616,14 @@ def grid_beam_vmem_bytes_estimate(
     return int(total)
 
 
-def _auto_tile_beam(packed, att, S: int, K: int, budget_bytes: int = 0) -> int:
+def _auto_tile_beam(
+    packed, att, S: int, K: int, budget_bytes: int = 0, batch: int = 0
+) -> int:
     budget_bytes = budget_bytes or _vmem_budget_bytes()
     tile = max(8, 256 // K)
+    if batch > 0:
+        # Cap at the (8-rounded) actual batch: see _auto_tile.
+        tile = min(tile, max(8, _round_up(batch, 8)))
     while tile > 8 and grid_beam_vmem_bytes_estimate(packed, att, tile, S, K) > budget_bytes:
         tile //= 2
     return max(8, tile)
@@ -638,7 +651,7 @@ def pallas_full_grid_beam_decode(
     T = int(cfg.max_length)
     dtype = packed["emb"].dtype
     if batch_tile <= 0:
-        batch_tile = _auto_tile_beam(packed, att, S, K)
+        batch_tile = _auto_tile_beam(packed, att, S, K, batch=B)
 
     kernel = functools.partial(
         _grid_beam_kernel, L, K, T, cfg.start_id, cfg.end_id, cfg.pad_id, early_exit
@@ -721,7 +734,7 @@ def pallas_full_grid_sample_decode(
     H = int(packed["hidden_dim"])
     dtype = packed["emb"].dtype
     if batch_tile <= 0:
-        batch_tile = _auto_tile(packed, att, S)
+        batch_tile = _auto_tile(packed, att, S, batch=B)
     kernel = functools.partial(
         _grid_sample_kernel,
         L, max_length, start_id, end_id, pad_id, int(top_k), float(top_p), early_exit,

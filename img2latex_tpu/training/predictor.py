@@ -229,7 +229,7 @@ class Predictor:
         return self._white_fill_cache
 
     # ------------------------------------------------------------------
-    def _decode_fn(self, batch: int, dcfg: DecodeConfig, seed: int = 0,
+    def _decode_fn(self, batch: int, dcfg: DecodeConfig,
                    width: Optional[int] = None):
         """Build (and cache) the compiled end-to-end decode: uint8 images ->
         token ids.  One executable per (batch, decode-config[, bucket width]).
@@ -244,7 +244,10 @@ class Predictor:
         decode is SPMD over the product mesh: images shard P('data'), params
         replicate, and each chip decodes its own batch rows — the pattern
         the v5e-8 north star (BASELINE.md) is served by."""
-        key = (batch, dcfg, seed, width)
+        # NOTE: the sampling seed is NOT part of the key — randomness flows
+        # through the runtime ``rng`` argument (predict_batch derives the
+        # in-kernel seed from it), so one executable serves every seed.
+        key = (batch, dcfg, width)
         if key in self._jit_cache:
             return self._jit_cache[key]
         model = self.model
@@ -285,6 +288,13 @@ class Predictor:
         # VMEM-resident feature grid, ops/pallas/grid_decode.py).  Top-p runs
         # sort-free in-kernel (iterative nucleus extraction).
         mem_kind = getattr(self.cfg.model, "memory", "vector")
+        if not self.cfg.model.decoder.attention:
+            # With attention off the scan path's context degenerates to
+            # memory[:, 0, :] regardless of memory kind
+            # (models/decoder.py::DecoderCell) — the vector kernels compute
+            # exactly that, and the grid kernels (which always attend) would
+            # crash packing the absent attention params.
+            mem_kind = "vector"
         # hardware.pallas_interpret: debug/test mode — run the kernels in
         # interpret mode on any backend (exercises this wiring on CPU).
         interp = getattr(self.cfg.hardware, "pallas_interpret", False)
@@ -666,7 +676,10 @@ class Predictor:
         margin = self.bucket_margin_px()
         stride = self._bucket_stride()
         for bw in sorted(int(b) for b in bucket_widths):
-            if bw % stride or bw >= w_full:
+            # The bucket canvas is (bw + margin) wide — reject buckets whose
+            # canvas wouldn't be strictly narrower than the full canvas, or
+            # the "cheaper" path would run the conv stack WIDER than default.
+            if bw % stride or bw + margin >= w_full:
                 continue
             if nat_w + margin <= bw:
                 return bw
@@ -708,7 +721,7 @@ class Predictor:
         if bucket_widths and self.cfg.model.name == "cnn_lstm":
             return self._predict_bucketed(images, dcfg, B, rng, return_ids, bucket_widths)
         results: List[Any] = []
-        run = self._decode_fn(B, dcfg, seed)
+        run = self._decode_fn(B, dcfg)
         for i in range(0, len(images), B):
             chunk = images[i : i + B]
             buf = np.zeros((B, h, w, c), dtype=np.uint8)

@@ -76,6 +76,11 @@ class TestBucketAssignment:
         assert pred._assign_bucket(imgs[1], [64, 128]) is None
         # buckets not divisible by stride or >= full width are skipped
         assert pred._assign_bucket(imgs[0], [63, 999]) is None
+        # a bucket whose CANVAS (bw + margin) would not be narrower than the
+        # full canvas is skipped too — it would cost more than unbucketed
+        wide = _content_images([220], h=32)[0]  # natural width 220
+        assert pred._assign_bucket(wide, [240]) is None  # 240 + 16 >= 256
+        assert pred._assign_bucket(wide, [236, 240]) == 236  # 236 + 16 < 256
 
     def test_natural_size_dispatch(self, tmp_path):
         pred, _ = _predictor()

@@ -72,6 +72,19 @@ class TestAttentionPacking:
         _, _, _, memory, packed, att, _ = setup
         assert grid_vmem_bytes_estimate(packed, att, 8, memory.shape[1]) > 0
 
+    def test_auto_tile_capped_at_batch(self, setup):
+        """Small batches must not pad up to a full VMEM-budget tile (a B=1
+        predict would otherwise decode 100+ zero-memory rows for max_length
+        steps and defeat early_exit's all-finished bailout)."""
+        from img2latex_tpu.ops.pallas.grid_decode import _auto_tile, _auto_tile_beam
+
+        _, _, _, memory, packed, att, _ = setup
+        S = memory.shape[1]
+        assert _auto_tile(packed, att, S, batch=1) == 8
+        assert _auto_tile(packed, att, S, batch=20) <= 24
+        assert _auto_tile(packed, att, S, batch=0) >= _auto_tile(packed, att, S, batch=64)
+        assert _auto_tile_beam(packed, att, S, 5, batch=1) == 8
+
 
 class TestGridGreedyKernel:
     def _scan_ref(self, model, params, memory, dcfg, layers, B, hidden):

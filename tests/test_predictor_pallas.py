@@ -21,12 +21,13 @@ from img2latex_tpu.models.seq2seq import build_model
 from img2latex_tpu.training.predictor import Predictor
 
 
-def _predictor(memory, vocab=24):
+def _predictor(memory, vocab=24, attention=True):
     cfg = Config()
     cfg.model.embedding_dim = 32
     cfg.model.decoder.hidden_dim = 32
     cfg.model.decoder.lstm_layers = 2
     cfg.model.decoder.dropout = 0.0
+    cfg.model.decoder.attention = attention
     cfg.model.memory = memory
     cfg.model.encoder.cnn.img_height = 32
     cfg.model.encoder.cnn.img_width = 64
@@ -111,3 +112,23 @@ class TestPallasWiring:
         pred._jit_cache.clear()
         early = pred.predict_batch(imgs, return_ids=True, beam_size=0, early_exit=True)
         assert [list(r) for r in full] == [list(g) for g in early]
+
+    def test_seed_does_not_retrace(self, memory):
+        """Sampling randomness rides the runtime rng argument; a new seed
+        must reuse the cached executable, not compile a fresh one."""
+        pred = _predictor(memory)
+        pred.cfg.hardware.use_pallas_decode = True
+        pred.cfg.hardware.pallas_interpret = True
+        imgs = _images()
+        pred.predict_batch(imgs, return_ids=True, temperature=0.8, top_k=4, seed=1)
+        n = len(pred._jit_cache)
+        pred.predict_batch(imgs, return_ids=True, temperature=0.8, top_k=4, seed=2)
+        assert len(pred._jit_cache) == n
+
+    def test_attention_off_routes_to_vector_kernels(self, memory):
+        """attention=False degenerates the context to memory[:, 0, :] for
+        BOTH memory kinds (models/decoder.py::DecoderCell); the Pallas gate
+        must route grid checkpoints to the vector kernels then (the grid
+        kernels always attend — and the attention params don't exist)."""
+        ref, got = _ab(_predictor(memory, attention=False), beam_size=0)
+        assert [list(r) for r in ref] == [list(g) for g in got]
