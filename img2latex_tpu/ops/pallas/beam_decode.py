@@ -76,15 +76,50 @@ def _beam_kernel(
 
     Bt = ctx_ref.shape[0]
     KB = K * Bt
+    # ctx per row (beam-major: each beam of a sample shares the context);
+    # constant across steps — the closure keeps it hoisted out of the loop.
+    ctx = jnp.broadcast_to(ctx_ref[:][None], (K, Bt, ctx_ref.shape[1])).reshape(
+        KB, ctx_ref.shape[1]
+    )
+    _beam_loop(
+        lambda h_top: ctx,
+        emb_ref, layer_refs, w_out_ref, b_out_ref,
+        tok_ref, beam_ref, scores_ref, h_ref, c_ref,
+        num_layers, K, Bt, max_length, start_id, end_id, pad_id, early_exit,
+    )
+
+
+def _beam_loop(
+    ctx_of,  # (h_top (K*Bt, H) dtype) -> context (K*Bt, E) dtype
+    emb_ref,
+    layer_refs,
+    w_out_ref,
+    b_out_ref,
+    tok_ref,
+    beam_ref,
+    scores_ref,
+    h_ref,
+    c_ref,
+    num_layers: int,
+    K: int,
+    Bt: int,
+    max_length: int,
+    start_id: int,
+    end_id: int,
+    pad_id: int,
+    early_exit: bool,
+):
+    """The whole-beam-decode loop shared by the vector and grid beam kernels
+    (module docstring for the layout/top-k/gather design).  ``ctx_of``
+    supplies the per-step context: a constant closure for vector memory, or
+    per-beam in-kernel additive attention over the VMEM-resident memory for
+    grid memory (``grid_decode._grid_beam_kernel``)."""
+    KB = K * Bt
     Vp = emb_ref.shape[0]
     dtype = emb_ref.dtype
 
     h_ref[...] = jnp.zeros_like(h_ref)
     c_ref[...] = jnp.zeros_like(c_ref)
-    # ctx per row (beam-major: each beam of a sample shares the context).
-    ctx = jnp.broadcast_to(ctx_ref[:][None], (K, Bt, ctx_ref.shape[1])).reshape(
-        KB, ctx_ref.shape[1]
-    )
     lane = jax.lax.broadcasted_iota(jnp.int32, (KB, Vp), 1)
     pad_row = jnp.where(lane == pad_id, jnp.float32(0.0), jnp.float32(NEG))  # (KB, Vp)
     # row r = k*Bt + s -> beam index k, in sublane form.
@@ -102,6 +137,9 @@ def _beam_kernel(
         tokens, scores, fin = state  # all (KB, 1): i32, f32, i32
         onehot = (lane == tokens).astype(dtype)
         emb = jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
+        # Context from the PREVIOUS top-layer h (DecoderCell order: attend
+        # first, then step the LSTM); constant closures ignore the argument.
+        ctx = ctx_of(h_ref[num_layers - 1])
         x = jnp.concatenate([emb.astype(dtype), ctx], axis=-1)
         for layer, (w_ih_ref, w_hh_ref, b_ref) in enumerate(layer_refs):
             gates = (
@@ -225,6 +263,20 @@ def _beam_kernel(
     scores_ref[...] = final_scores
 
 
+def _select_from_beam_tiles(tok_kb, beam_kb, scores_kb, nc, T, K, Bt, Bp, B, cfg):
+    """Reassemble the per-tile beam-major outputs into (T, Bp, K) histories
+    and (Bp, K) final scores, then backtrack + length-penalty-select the best
+    beam (``decoding.decode.backtrack_and_select``, shared with the scan
+    path).  Used by both the vector and grid beam wrappers."""
+    from img2latex_tpu.decoding.decode import backtrack_and_select
+
+    tok_seq = tok_kb.reshape(nc, T, K, Bt).transpose(1, 0, 3, 2).reshape(T, Bp, K)
+    beam_seq = beam_kb.reshape(nc, T, K, Bt).transpose(1, 0, 3, 2).reshape(T, Bp, K)
+    final_scores = scores_kb.reshape(nc, K, Bt).transpose(0, 2, 1).reshape(Bp, K)
+    tokens, scores = backtrack_and_select(tok_seq, beam_seq, final_scores, Bp, K, cfg)
+    return tokens[:B], scores[:B]
+
+
 def pallas_full_beam_decode(
     packed: Dict[str, Any],
     context: jnp.ndarray,  # (B, E)
@@ -240,8 +292,6 @@ def pallas_full_beam_decode(
     samples (default sized so K*Bt ~ 256 rows) map at the XLA level; each
     tile pays one weight DMA and runs all steps from VMEM.
     """
-    from img2latex_tpu.decoding.decode import backtrack_and_select
-
     B, E = context.shape
     K = int(beam_size)
     L = int(packed["num_layers"])
@@ -296,16 +346,6 @@ def pallas_full_beam_decode(
             one_tile, ctx.reshape(nc, batch_tile, E)
         )  # (nc, T, K*Bt), (nc, T, K*Bt), (nc, K*Bt, 1)
 
-    Bt = batch_tile
-    # (nc, T, K, Bt) -> (T, nc, Bt, K) -> (T, Bp, K)
-    tok_seq = (
-        tok_kb.reshape(nc, T, K, Bt).transpose(1, 0, 3, 2).reshape(T, Bp, K)
+    return _select_from_beam_tiles(
+        tok_kb, beam_kb, scores_kb, nc, T, K, batch_tile, Bp, B, cfg
     )
-    beam_seq = (
-        beam_kb.reshape(nc, T, K, Bt).transpose(1, 0, 3, 2).reshape(T, Bp, K)
-    )
-    final_scores = (
-        scores_kb.reshape(nc, K, Bt).transpose(0, 2, 1).reshape(Bp, K)
-    )
-    tokens, scores = backtrack_and_select(tok_seq, beam_seq, final_scores, Bp, K, cfg)
-    return tokens[:B], scores[:B]

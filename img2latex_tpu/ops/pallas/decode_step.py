@@ -22,7 +22,7 @@ Kernel-language reference: /opt/skills/guides/pallas_guide.md.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -223,22 +223,29 @@ def pallas_greedy_decode(
     return jnp.swapaxes(tokens_t, 0, 1)
 
 
-def _full_decode_kernel(
+def _decode_loop(
+    next_token,  # (t, logits (B, Vp) f32) -> (B, 1) i32
+    ctx_of,  # (h_top (B, H) dtype) -> context (B, E) dtype
+    emb_ref,
+    layer_refs,
+    w_out_ref,
+    b_out_ref,
+    out_ref,
+    h_ref,
+    c_ref,
     num_layers: int,
     max_length: int,
     start_id: int,
     end_id: int,
     pad_id: int,
     early_exit: bool,
-    *refs,
 ):
-    """Entire greedy decode loop in ONE kernel: weights stay VMEM-resident
-    across all ``max_length`` steps (no per-step HBM weight reloads, no
-    per-step XLA scan bookkeeping).
-
-    refs: [ctx (B,E)] [emb (Vp,E)] [w_ih_i w_hh_i b_i]*L [w_out (H,Vp)]
-          [b_out (1,Vp)] -> out [tokens (T,B) i32],
-    scratch: h (L,B,H), c (L,B,H)
+    """The whole-decode loop body shared by every (greedy | sampling) x
+    (vector | grid) kernel: one-hot embedding matmul, context from
+    ``ctx_of`` (a constant closure for vector memory; in-kernel additive
+    attention for grid memory — ``grid_decode._attend``), the L-layer LSTM
+    stack, vocab projection, then ``next_token`` picks (argmax or a
+    filtered Gumbel-max draw).
 
     Mosaic notes (the first version crashed the on-chip compiler): the token
     stream is written **time-major** so the per-step dynamic store
@@ -246,33 +253,28 @@ def _full_decode_kernel(
     lane-dim stores of width 1 into a non-128-multiple minor dim are what
     broke), and the finished flag is carried as int32 arithmetic — bool
     vectors in a ``fori_loop`` carry are the other Mosaic-hostile idiom.
-    The caller transposes back to (B, T).
-    """
-    ctx_ref = refs[0]
-    emb_ref = refs[1]
-    idx = 2
-    layer_refs = []
-    for _ in range(num_layers):
-        layer_refs.append((refs[idx], refs[idx + 1], refs[idx + 2]))
-        idx += 3
-    w_out_ref, b_out_ref = refs[idx], refs[idx + 1]
-    out_ref = refs[idx + 2]
-    h_ref, c_ref = refs[idx + 3], refs[idx + 4]
+    The callers transpose the (T, B) output back to (B, T).
 
-    B = ctx_ref.shape[0]
+    ``early_exit``: stop once every row has emitted END — the trained-model
+    latency win (mean sequence length << max_length).  Pre-fill the tail
+    with PAD (skipped steps never store), carry (t, tokens, finished)
+    through a while_loop with a scalar all-finished condition.
+    Output-identical to the full-length loop.
+    """
+    B = h_ref.shape[1]
     Vp = emb_ref.shape[0]
     dtype = emb_ref.dtype
 
     h_ref[...] = jnp.zeros_like(h_ref)
     c_ref[...] = jnp.zeros_like(c_ref)
-    ctx = ctx_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
 
     def body(t, state):
         tokens, finished = state  # (B, 1) i32, (B, 1) i32 (0/1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
         onehot = (col == tokens).astype(dtype)
-        x = jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
-        x = jnp.concatenate([x.astype(dtype), ctx], axis=-1)
+        emb = jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
+        ctx = ctx_of(h_ref[num_layers - 1])
+        x = jnp.concatenate([emb.astype(dtype), ctx], axis=-1)
         for layer, (w_ih_ref, w_hh_ref, b_ref) in enumerate(layer_refs):
             gates = (
                 jnp.dot(x, w_ih_ref[:], preferred_element_type=jnp.float32)
@@ -288,7 +290,7 @@ def _full_decode_kernel(
             c_ref[layer] = c_new.astype(dtype)
             x = h_new.astype(dtype)
         logits = jnp.dot(x, w_out_ref[:], preferred_element_type=jnp.float32) + b_out_ref[:]
-        nxt = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+        nxt = next_token(t, logits)
         # finished-select and END-absorption in int32 arithmetic (no bools).
         out_tok = finished * jnp.int32(pad_id) + (1 - finished) * nxt
         finished = jnp.maximum(finished, (out_tok == end_id).astype(jnp.int32))
@@ -300,11 +302,6 @@ def _full_decode_kernel(
     if not early_exit:
         jax.lax.fori_loop(0, max_length, body, (tokens0, finished0))
         return
-    # Early exit (inference.early_exit): stop the in-kernel loop once every
-    # row has emitted END — the trained-model latency win (mean sequence
-    # length << max_length).  Pre-fill the tail with PAD (skipped steps never
-    # store), carry (t, tokens, finished) through a while_loop with a scalar
-    # all-finished condition.  Output-identical to the full-length loop.
     out_ref[...] = jnp.full_like(out_ref, pad_id)
 
     def w_cond(state):
@@ -317,6 +314,56 @@ def _full_decode_kernel(
         return t + 1, tokens, finished
 
     jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), tokens0, finished0))
+
+
+def _unpack_loop_refs(num_layers: int, refs, n_lead: int, n_extra: int = 0):
+    """Common ref-layout unpacking for the whole-decode kernels:
+    [<n_lead leading refs>] [emb] [w_ih_i w_hh_i b_i]*L [w_out] [b_out]
+    [<n_extra trailing input refs>] [out] [h scratch] [c scratch]."""
+    lead = refs[:n_lead]
+    emb_ref = refs[n_lead]
+    idx = n_lead + 1
+    layer_refs = []
+    for _ in range(num_layers):
+        layer_refs.append((refs[idx], refs[idx + 1], refs[idx + 2]))
+        idx += 3
+    w_out_ref, b_out_ref = refs[idx], refs[idx + 1]
+    extra = refs[idx + 2 : idx + 2 + n_extra]
+    out_ref = refs[idx + 2 + n_extra]
+    h_ref, c_ref = refs[idx + 3 + n_extra], refs[idx + 4 + n_extra]
+    return lead, emb_ref, layer_refs, w_out_ref, b_out_ref, extra, out_ref, h_ref, c_ref
+
+
+def _full_decode_kernel(
+    num_layers: int,
+    max_length: int,
+    start_id: int,
+    end_id: int,
+    pad_id: int,
+    early_exit: bool,
+    *refs,
+):
+    """Entire greedy decode loop in ONE kernel: weights stay VMEM-resident
+    across all ``max_length`` steps (no per-step HBM weight reloads, no
+    per-step XLA scan bookkeeping).  See :func:`_decode_loop`.
+
+    refs: [ctx (B,E)] [emb (Vp,E)] [w_ih_i w_hh_i b_i]*L [w_out (H,Vp)]
+          [b_out (1,Vp)] -> out [tokens (T,B) i32],
+    scratch: h (L,B,H), c (L,B,H)
+    """
+    (ctx_ref,), emb_ref, layer_refs, w_out_ref, b_out_ref, _, out_ref, h_ref, c_ref = (
+        _unpack_loop_refs(num_layers, refs, 1)
+    )
+    ctx = ctx_ref[:]
+
+    def greedy(t, logits):
+        return jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+
+    _decode_loop(
+        greedy, lambda h_top: ctx, emb_ref, layer_refs, w_out_ref, b_out_ref,
+        out_ref, h_ref, c_ref,
+        num_layers, max_length, start_id, end_id, pad_id, early_exit,
+    )
 
 
 def pallas_full_greedy_decode(
@@ -501,29 +548,29 @@ def _full_sample_kernel(
           [b_out (1,Vp)] [seed (1,1) i32 SMEM] -> out [tokens (T,B) i32],
     scratch: h (L,B,H), c (L,B,H)
     """
-    ctx_ref = refs[0]
-    emb_ref = refs[1]
-    idx = 2
-    layer_refs = []
-    for _ in range(num_layers):
-        layer_refs.append((refs[idx], refs[idx + 1], refs[idx + 2]))
-        idx += 3
-    w_out_ref, b_out_ref, seed_ref = refs[idx], refs[idx + 1], refs[idx + 2]
-    out_ref = refs[idx + 3]
-    h_ref, c_ref = refs[idx + 4], refs[idx + 5]
-
-    B = ctx_ref.shape[0]
-    Vp = emb_ref.shape[0]
-    dtype = emb_ref.dtype
-
-    h_ref[...] = jnp.zeros_like(h_ref)
-    c_ref[...] = jnp.zeros_like(c_ref)
+    (ctx_ref,), emb_ref, layer_refs, w_out_ref, b_out_ref, (seed_ref,), out_ref, h_ref, c_ref = (
+        _unpack_loop_refs(num_layers, refs, 1, n_extra=1)
+    )
     ctx = ctx_ref[:]
-    # The hash runs in int32 with logical shifts: Mosaic rejects
-    # uint32->float32 casts in-kernel ("Unsupported cast", measured on chip
-    # 2026-08-17) and uint->int bitcasts are equally dicey, while int32
-    # wraparound multiply/add and lax.shift_right_logical lower fine and are
-    # bit-identical to the uint32 formulation (two's complement).
+    sampler = _make_sampler(seed_ref, h_ref.shape[1], emb_ref.shape[0], top_k, top_p)
+    _decode_loop(
+        sampler, lambda h_top: ctx, emb_ref, layer_refs, w_out_ref, b_out_ref,
+        out_ref, h_ref, c_ref,
+        num_layers, max_length, start_id, end_id, pad_id, early_exit,
+    )
+
+
+def _make_sampler(seed_ref, B: int, Vp: int, top_k: int, top_p: float):
+    """Build the per-step sampling ``next_token`` callback for
+    :func:`_decode_loop`: a lowbias32 uniform field + the shared filter/draw
+    (:func:`_sample_next_token`).
+
+    The hash runs in int32 with logical shifts: Mosaic rejects
+    uint32->float32 casts in-kernel ("Unsupported cast", measured on chip
+    2026-08-17) and uint->int bitcasts are equally dicey, while int32
+    wraparound multiply/add and lax.shift_right_logical lower fine and are
+    bit-identical to the uint32 formulation (two's complement).
+    """
     seed_i = seed_ref[0, 0]
     row_i = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 0)
     col_i = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
@@ -547,50 +594,10 @@ def _full_sample_kernel(
         u = srl(x, 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
         return u * jnp.float32(1.0 - 2e-7) + jnp.float32(1e-7)
 
-    def body(t, state):
-        tokens, finished = state  # (B, 1) i32, (B, 1) i32 (0/1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
-        onehot = (col == tokens).astype(dtype)
-        x = jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
-        x = jnp.concatenate([x.astype(dtype), ctx], axis=-1)
-        for layer, (w_ih_ref, w_hh_ref, b_ref) in enumerate(layer_refs):
-            gates = (
-                jnp.dot(x, w_ih_ref[:], preferred_element_type=jnp.float32)
-                + jnp.dot(h_ref[layer], w_hh_ref[:], preferred_element_type=jnp.float32)
-                + b_ref[:]
-            )
-            i_g, f_g, g_g, o_g = jnp.split(gates, 4, axis=-1)
-            c_new = jax.nn.sigmoid(f_g) * c_ref[layer].astype(jnp.float32) + jax.nn.sigmoid(
-                i_g
-            ) * jnp.tanh(g_g)
-            h_new = jax.nn.sigmoid(o_g) * jnp.tanh(c_new)
-            h_ref[layer] = h_new.astype(dtype)
-            c_ref[layer] = c_new.astype(dtype)
-            x = h_new.astype(dtype)
-        logits = jnp.dot(x, w_out_ref[:], preferred_element_type=jnp.float32) + b_out_ref[:]
-        nxt = _sample_next_token(logits, col_i, top_k, top_p, random_uniform(t))
-        out_tok = finished * jnp.int32(pad_id) + (1 - finished) * nxt
-        finished = jnp.maximum(finished, (out_tok == end_id).astype(jnp.int32))
-        out_ref[pl.ds(t, 1), :] = out_tok.reshape(1, B)
-        return out_tok, finished
+    def next_token(t, logits):
+        return _sample_next_token(logits, col_i, top_k, top_p, random_uniform(t))
 
-    tokens0 = jnp.full((B, 1), start_id, jnp.int32)
-    finished0 = jnp.zeros((B, 1), jnp.int32)
-    if not early_exit:
-        jax.lax.fori_loop(0, max_length, body, (tokens0, finished0))
-        return
-    out_ref[...] = jnp.full_like(out_ref, pad_id)
-
-    def w_cond(state):
-        t, _, finished = state
-        return jnp.logical_and(t < max_length, jnp.sum(finished) < B)
-
-    def w_body(state):
-        t, tokens, finished = state
-        tokens, finished = body(t, (tokens, finished))
-        return t + 1, tokens, finished
-
-    jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), tokens0, finished0))
+    return next_token
 
 
 def pallas_full_sample_decode(

@@ -51,10 +51,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from img2latex_tpu.ops.pallas.decode_step import _round_up, _sample_next_token
-
-NEG = -1e30
-
+from img2latex_tpu.ops.pallas.decode_step import (
+    _decode_loop,
+    _make_sampler,
+    _round_up,
+)
 
 # ---------------------------------------------------------------------------
 # Attention weight packing + host-side precompute
@@ -144,7 +145,34 @@ def _grid_greedy_kernel(
 ):
     """refs: [mem (B,S,E)] [u (B,S,A)] [emb (Vp,E)] [w_ih_i w_hh_i b_i]*L
     [w_h (H,A)] [v (1,A)] [w_out (H,Vp)] [b_out (1,Vp)]
-    -> out [tokens (T,B) i32]; scratch h (L,B,H), c (L,B,H)."""
+    -> out [tokens (T,B) i32]; scratch h (L,B,H), c (L,B,H).
+
+    Shares the decode loop with the vector kernels
+    (``decode_step._decode_loop``); the context closure runs in-kernel
+    additive attention over the VMEM-resident memory from the PREVIOUS
+    top-layer h (DecoderCell order: attend first, then step the LSTM —
+    models/decoder.py)."""
+    (
+        (mem_ref, u_ref, w_h_ref, v_ref),
+        emb_ref, layer_refs, w_out_ref, b_out_ref, _, out_ref, h_ref, c_ref,
+    ) = _unpack_grid_refs(num_layers, refs)
+
+    def greedy(t, logits):
+        return jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+
+    _decode_loop(
+        greedy,
+        lambda h_top: _attend(mem_ref, u_ref, w_h_ref, v_ref, h_top),
+        emb_ref, layer_refs, w_out_ref, b_out_ref, out_ref, h_ref, c_ref,
+        num_layers, max_length, start_id, end_id, pad_id, early_exit,
+    )
+
+
+def _unpack_grid_refs(num_layers: int, refs, n_extra: int = 0):
+    """Grid ref layout: [mem] [u] [emb] [w_ih_i w_hh_i b_i]*L [w_h] [v]
+    [w_out] [b_out] [extras] [out] [h] [c] — reorder
+    ``decode_step._unpack_loop_refs``'s lead/post split so the attention
+    operands (mem, u, w_h, v) come back as one lead tuple."""
     mem_ref, u_ref, emb_ref = refs[0], refs[1], refs[2]
     idx = 3
     layer_refs = []
@@ -152,63 +180,13 @@ def _grid_greedy_kernel(
         layer_refs.append((refs[idx], refs[idx + 1], refs[idx + 2]))
         idx += 3
     w_h_ref, v_ref, w_out_ref, b_out_ref = refs[idx], refs[idx + 1], refs[idx + 2], refs[idx + 3]
-    out_ref = refs[idx + 4]
-    h_ref, c_ref = refs[idx + 5], refs[idx + 6]
-
-    B = mem_ref.shape[0]
-    Vp = emb_ref.shape[0]
-    dtype = emb_ref.dtype
-
-    h_ref[...] = jnp.zeros_like(h_ref)
-    c_ref[...] = jnp.zeros_like(c_ref)
-
-    def body(t, state):
-        tokens, finished = state  # (B, 1) i32, (B, 1) i32
-        col = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
-        onehot = (col == tokens).astype(dtype)
-        emb = jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
-        # Attention context from the PREVIOUS top-layer h (DecoderCell order:
-        # attend first, then step the LSTM — models/decoder.py).
-        ctx = _attend(mem_ref, u_ref, w_h_ref, v_ref, h_ref[num_layers - 1])
-        x = jnp.concatenate([emb.astype(dtype), ctx], axis=-1)
-        for layer, (w_ih_ref, w_hh_ref, b_ref) in enumerate(layer_refs):
-            gates = (
-                jnp.dot(x, w_ih_ref[:], preferred_element_type=jnp.float32)
-                + jnp.dot(h_ref[layer], w_hh_ref[:], preferred_element_type=jnp.float32)
-                + b_ref[:]
-            )
-            i_g, f_g, g_g, o_g = jnp.split(gates, 4, axis=-1)
-            c_new = jax.nn.sigmoid(f_g) * c_ref[layer].astype(jnp.float32) + jax.nn.sigmoid(
-                i_g
-            ) * jnp.tanh(g_g)
-            h_new = jax.nn.sigmoid(o_g) * jnp.tanh(c_new)
-            h_ref[layer] = h_new.astype(dtype)
-            c_ref[layer] = c_new.astype(dtype)
-            x = h_new.astype(dtype)
-        logits = jnp.dot(x, w_out_ref[:], preferred_element_type=jnp.float32) + b_out_ref[:]
-        nxt = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
-        out_tok = finished * jnp.int32(pad_id) + (1 - finished) * nxt
-        finished = jnp.maximum(finished, (out_tok == end_id).astype(jnp.int32))
-        out_ref[pl.ds(t, 1), :] = out_tok.reshape(1, B)
-        return out_tok, finished
-
-    tokens0 = jnp.full((B, 1), start_id, jnp.int32)
-    finished0 = jnp.zeros((B, 1), jnp.int32)
-    if not early_exit:
-        jax.lax.fori_loop(0, max_length, body, (tokens0, finished0))
-        return
-    out_ref[...] = jnp.full_like(out_ref, pad_id)
-
-    def w_cond(state):
-        t, _, finished = state
-        return jnp.logical_and(t < max_length, jnp.sum(finished) < B)
-
-    def w_body(state):
-        t, tokens, finished = state
-        tokens, finished = body(t, (tokens, finished))
-        return t + 1, tokens, finished
-
-    jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), tokens0, finished0))
+    extra = refs[idx + 4 : idx + 4 + n_extra]
+    out_ref = refs[idx + 4 + n_extra]
+    h_ref, c_ref = refs[idx + 5 + n_extra], refs[idx + 6 + n_extra]
+    return (
+        (mem_ref, u_ref, w_h_ref, v_ref),
+        emb_ref, layer_refs, w_out_ref, b_out_ref, extra, out_ref, h_ref, c_ref,
+    )
 
 
 def _grid_sample_kernel(
@@ -229,87 +207,17 @@ def _grid_sample_kernel(
 
     refs: [mem] [u] [emb] [w_ih_i w_hh_i b_i]*L [w_h] [v] [w_out] [b_out]
     [seed (1,1) i32 SMEM] -> out [tokens (T,B) i32]; scratch h, c."""
-    mem_ref, u_ref, emb_ref = refs[0], refs[1], refs[2]
-    idx = 3
-    layer_refs = []
-    for _ in range(num_layers):
-        layer_refs.append((refs[idx], refs[idx + 1], refs[idx + 2]))
-        idx += 3
-    w_h_ref, v_ref, w_out_ref, b_out_ref = refs[idx], refs[idx + 1], refs[idx + 2], refs[idx + 3]
-    seed_ref = refs[idx + 4]
-    out_ref = refs[idx + 5]
-    h_ref, c_ref = refs[idx + 6], refs[idx + 7]
-
-    B = mem_ref.shape[0]
-    Vp = emb_ref.shape[0]
-    dtype = emb_ref.dtype
-
-    h_ref[...] = jnp.zeros_like(h_ref)
-    c_ref[...] = jnp.zeros_like(c_ref)
-    seed_i = seed_ref[0, 0]
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
-    srl = jax.lax.shift_right_logical
-
-    def random_uniform(t):
-        x = (
-            seed_i
-            + t * jnp.int32(-1640531527)
-            + row_i * jnp.int32(-2048144789)
-            + col_i * jnp.int32(-1028477387)
-        )
-        x = x ^ srl(x, 16)
-        x = x * jnp.int32(2146121005)
-        x = x ^ srl(x, 15)
-        x = x * jnp.int32(-2073254261)
-        x = x ^ srl(x, 16)
-        u = srl(x, 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
-        return u * jnp.float32(1.0 - 2e-7) + jnp.float32(1e-7)
-
-    def body(t, state):
-        tokens, finished = state
-        onehot = (col_i == tokens).astype(dtype)
-        emb = jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
-        ctx = _attend(mem_ref, u_ref, w_h_ref, v_ref, h_ref[num_layers - 1])
-        x = jnp.concatenate([emb.astype(dtype), ctx], axis=-1)
-        for layer, (w_ih_ref, w_hh_ref, b_ref) in enumerate(layer_refs):
-            gates = (
-                jnp.dot(x, w_ih_ref[:], preferred_element_type=jnp.float32)
-                + jnp.dot(h_ref[layer], w_hh_ref[:], preferred_element_type=jnp.float32)
-                + b_ref[:]
-            )
-            i_g, f_g, g_g, o_g = jnp.split(gates, 4, axis=-1)
-            c_new = jax.nn.sigmoid(f_g) * c_ref[layer].astype(jnp.float32) + jax.nn.sigmoid(
-                i_g
-            ) * jnp.tanh(g_g)
-            h_new = jax.nn.sigmoid(o_g) * jnp.tanh(c_new)
-            h_ref[layer] = h_new.astype(dtype)
-            c_ref[layer] = c_new.astype(dtype)
-            x = h_new.astype(dtype)
-        logits = jnp.dot(x, w_out_ref[:], preferred_element_type=jnp.float32) + b_out_ref[:]
-        nxt = _sample_next_token(logits, col_i, top_k, top_p, random_uniform(t))
-        out_tok = finished * jnp.int32(pad_id) + (1 - finished) * nxt
-        finished = jnp.maximum(finished, (out_tok == end_id).astype(jnp.int32))
-        out_ref[pl.ds(t, 1), :] = out_tok.reshape(1, B)
-        return out_tok, finished
-
-    tokens0 = jnp.full((B, 1), start_id, jnp.int32)
-    finished0 = jnp.zeros((B, 1), jnp.int32)
-    if not early_exit:
-        jax.lax.fori_loop(0, max_length, body, (tokens0, finished0))
-        return
-    out_ref[...] = jnp.full_like(out_ref, pad_id)
-
-    def w_cond(state):
-        t, _, finished = state
-        return jnp.logical_and(t < max_length, jnp.sum(finished) < B)
-
-    def w_body(state):
-        t, tokens, finished = state
-        tokens, finished = body(t, (tokens, finished))
-        return t + 1, tokens, finished
-
-    jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), tokens0, finished0))
+    (
+        (mem_ref, u_ref, w_h_ref, v_ref),
+        emb_ref, layer_refs, w_out_ref, b_out_ref, (seed_ref,), out_ref, h_ref, c_ref,
+    ) = _unpack_grid_refs(num_layers, refs, n_extra=1)
+    sampler = _make_sampler(seed_ref, h_ref.shape[1], emb_ref.shape[0], top_k, top_p)
+    _decode_loop(
+        sampler,
+        lambda h_top: _attend(mem_ref, u_ref, w_h_ref, v_ref, h_top),
+        emb_ref, layer_refs, w_out_ref, b_out_ref, out_ref, h_ref, c_ref,
+        num_layers, max_length, start_id, end_id, pad_id, early_exit,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -362,16 +270,26 @@ def _auto_tile(packed, att, S: int, budget_bytes: int = 0, batch: int = 0) -> in
 
 
 def _run_tiled(one_tile, operands: Tuple[jnp.ndarray, ...], B: int, batch_tile: int,
-               max_length: int) -> jnp.ndarray:
+               max_length: int, per_tile: jnp.ndarray | None = None) -> jnp.ndarray:
     """Pad B to a multiple of batch_tile and lax.map ``one_tile`` over chunks.
-    Each operand's leading dim is B; extra (non-batch) args ride via closure."""
+    Each operand's leading dim is B; extra (non-batch) args ride via closure,
+    except ``per_tile`` — a (num_chunks,) array appended as the last arg of
+    each chunk (per-tile sampling seeds)."""
     Bp = _round_up(B, batch_tile)
     padded = tuple(
         jnp.pad(x, ((0, Bp - B),) + ((0, 0),) * (x.ndim - 1)) if Bp != B else x
         for x in operands
     )
     nc = Bp // batch_tile
-    if nc == 1:
+    if per_tile is not None:
+        # Extra per-chunk scalar operand (e.g. the sampling seed): element i
+        # rides with chunk i rather than being split along the batch.
+        if nc == 1:
+            tokens_tb = one_tile(padded + (per_tile[0],))[None]
+        else:
+            chunks = tuple(x.reshape((nc, batch_tile) + x.shape[1:]) for x in padded)
+            tokens_tb = jax.lax.map(one_tile, chunks + (per_tile,))
+    elif nc == 1:
         tokens_tb = one_tile(padded)[None]
     else:
         chunks = tuple(x.reshape((nc, batch_tile) + x.shape[1:]) for x in padded)
@@ -454,6 +372,40 @@ def _grid_beam_kernel(
     [w_h (H,A)] [v (1,A)] [w_out (H,Vp)] [b_out (1,Vp)]
     -> out [tok_seq (T,K*Bt) i32] [beam_seq (T,K*Bt) i32] [scores (K*Bt,1) f32]
     scratch: h (L,K*Bt,H), c (L,K*Bt,H)."""
+    from img2latex_tpu.ops.pallas.beam_decode import _beam_loop
+
+    (
+        (mem_ref, u_ref, w_h_ref, v_ref),
+        emb_ref, layer_refs, w_out_ref, b_out_ref,
+        (tok_ref, beam_ref, scores_ref),
+        h_ref, c_ref,
+    ) = _unpack_grid_beam_refs(num_layers, refs)
+    Bt = mem_ref.shape[0]
+
+    def ctx_of(h_top):
+        # Attention per beam on the parent-gathered previous top-layer h;
+        # beams of a sample share the memory, so each attend runs on a
+        # static (Bt, H) beam slice — no KX duplication of the (Bt, S, E)/
+        # (Bt, S, A) memory operands in VMEM.
+        return jnp.concatenate(
+            [
+                _attend(mem_ref, u_ref, w_h_ref, v_ref, h_top[k * Bt : (k + 1) * Bt])
+                for k in range(K)
+            ],
+            axis=0,
+        )  # (K*Bt, E)
+
+    _beam_loop(
+        ctx_of,
+        emb_ref, layer_refs, w_out_ref, b_out_ref,
+        tok_ref, beam_ref, scores_ref, h_ref, c_ref,
+        num_layers, K, Bt, max_length, start_id, end_id, pad_id, early_exit,
+    )
+
+
+def _unpack_grid_beam_refs(num_layers: int, refs):
+    """Grid beam ref layout (see ``_grid_beam_kernel`` docstring): like
+    ``_unpack_grid_refs`` but with the three beam outputs before scratch."""
     mem_ref, u_ref, emb_ref = refs[0], refs[1], refs[2]
     idx = 3
     layer_refs = []
@@ -461,134 +413,12 @@ def _grid_beam_kernel(
         layer_refs.append((refs[idx], refs[idx + 1], refs[idx + 2]))
         idx += 3
     w_h_ref, v_ref, w_out_ref, b_out_ref = refs[idx], refs[idx + 1], refs[idx + 2], refs[idx + 3]
-    tok_ref, beam_ref, scores_ref = refs[idx + 4], refs[idx + 5], refs[idx + 6]
+    outs = (refs[idx + 4], refs[idx + 5], refs[idx + 6])
     h_ref, c_ref = refs[idx + 7], refs[idx + 8]
-
-    Bt = mem_ref.shape[0]
-    KB = K * Bt
-    Vp = emb_ref.shape[0]
-    dtype = emb_ref.dtype
-    NEGf = jnp.float32(NEG)
-
-    h_ref[...] = jnp.zeros_like(h_ref)
-    c_ref[...] = jnp.zeros_like(c_ref)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (KB, Vp), 1)
-    pad_row = jnp.where(lane == pad_id, jnp.float32(0.0), NEGf)  # (KB, Vp)
-    row_beam = jax.lax.broadcasted_iota(jnp.int32, (KB, 1), 0) // Bt
-
-    def group_reduce(x, op):
-        acc = x
-        for i in range(1, K):
-            acc = op(acc, pltpu.roll(x, (KB - i * Bt) % KB, 0))
-        return acc
-
-    def body(t, state):
-        tokens, scores, fin = state  # (KB, 1): i32, f32, i32
-        onehot = (lane == tokens).astype(dtype)
-        emb = jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
-        # Attention per beam on the parent-gathered previous top-layer h
-        # (DecoderCell order: attend first, then step the LSTM).
-        h_top = h_ref[num_layers - 1]  # (KB, H)
-        ctx = jnp.concatenate(
-            [
-                _attend(mem_ref, u_ref, w_h_ref, v_ref, h_top[k * Bt : (k + 1) * Bt])
-                for k in range(K)
-            ],
-            axis=0,
-        )  # (KB, E)
-        x = jnp.concatenate([emb.astype(dtype), ctx], axis=-1)
-        for layer, (w_ih_ref, w_hh_ref, b_ref) in enumerate(layer_refs):
-            gates = (
-                jnp.dot(x, w_ih_ref[:], preferred_element_type=jnp.float32)
-                + jnp.dot(h_ref[layer], w_hh_ref[:], preferred_element_type=jnp.float32)
-                + b_ref[:]
-            )
-            i_g, f_g, g_g, o_g = jnp.split(gates, 4, axis=-1)
-            c_new = jax.nn.sigmoid(f_g) * c_ref[layer].astype(jnp.float32) + jax.nn.sigmoid(
-                i_g
-            ) * jnp.tanh(g_g)
-            h_new = jax.nn.sigmoid(o_g) * jnp.tanh(c_new)
-            h_ref[layer] = h_new.astype(dtype)
-            c_ref[layer] = c_new.astype(dtype)
-            x = h_new.astype(dtype)
-        logits = jnp.dot(x, w_out_ref[:], preferred_element_type=jnp.float32) + b_out_ref[:]
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        logp = logits - (jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True)) + m)
-        logp = jnp.where(fin > 0, pad_row, logp)
-        total = scores + logp  # (KB, Vp)
-
-        cur = total
-        parents: List[jnp.ndarray] = []
-        toks: List[jnp.ndarray] = []
-        scs: List[jnp.ndarray] = []
-        for _n in range(K):
-            row_max = jnp.max(cur, axis=-1, keepdims=True)
-            row_arg = jnp.argmax(cur, axis=-1, keepdims=True).astype(jnp.int32)
-            m_all = group_reduce(row_max, jnp.maximum)
-            cand = jnp.where(row_max == m_all, row_beam, jnp.int32(K))
-            win_beam = group_reduce(cand, jnp.minimum)
-            tok_cand = jnp.where(row_beam == win_beam, row_arg, jnp.int32(0))
-            win_tok = group_reduce(tok_cand, jnp.maximum)
-            parents.append(win_beam)
-            toks.append(win_tok)
-            scs.append(m_all)
-            cur = jnp.where(
-                jnp.logical_and(row_beam == win_beam, lane == win_tok), NEGf, cur
-            )
-
-        new_tok = jnp.zeros((KB, 1), jnp.int32)
-        new_parent = jnp.zeros((KB, 1), jnp.int32)
-        new_score = jnp.zeros((KB, 1), jnp.float32)
-        for n in range(K):
-            sel = row_beam == n
-            new_tok = jnp.where(sel, toks[n], new_tok)
-            new_parent = jnp.where(sel, parents[n], new_parent)
-            new_score = jnp.where(sel, scs[n], new_score)
-
-        delta = jnp.remainder(new_parent - row_beam, jnp.int32(K))
-        fin_gathered = jnp.zeros((KB, 1), jnp.int32)
-        for i in range(K):
-            rolled = fin if i == 0 else pltpu.roll(fin, (KB - i * Bt) % KB, 0)
-            fin_gathered = jnp.where(delta == i, rolled, fin_gathered)
-        fin_new = jnp.maximum(fin_gathered, (new_tok == end_id).astype(jnp.int32))
-
-        row_pos = jax.lax.broadcasted_iota(jnp.int32, (KB, 1), 0) - row_beam * Bt
-        parent_flat = new_parent * Bt + row_pos
-        colq = jax.lax.broadcasted_iota(jnp.int32, (KB, KB), 1)
-        P = (colq == parent_flat).astype(dtype)
-        for layer in range(num_layers):
-            h_ref[layer] = jnp.dot(
-                P, h_ref[layer], preferred_element_type=jnp.float32
-            ).astype(dtype)
-            c_ref[layer] = jnp.dot(
-                P, c_ref[layer], preferred_element_type=jnp.float32
-            ).astype(dtype)
-
-        tok_ref[pl.ds(t, 1), :] = new_tok.reshape(1, KB)
-        beam_ref[pl.ds(t, 1), :] = new_parent.reshape(1, KB)
-        return new_tok, new_score, fin_new
-
-    tokens0 = jnp.full((KB, 1), start_id, jnp.int32)
-    scores0 = jnp.where(row_beam == 0, jnp.float32(0.0), NEGf)
-    fin0 = jnp.zeros((KB, 1), jnp.int32)
-    if early_exit:
-        tok_ref[...] = jnp.full_like(tok_ref, pad_id)
-        beam_ref[...] = jnp.broadcast_to(row_beam.reshape(1, KB), beam_ref.shape)
-
-        def w_cond(state):
-            t, st = state
-            return jnp.logical_and(t < max_length, jnp.sum(st[2]) < KB)
-
-        def w_body(state):
-            t, st = state
-            return t + 1, body(t, st)
-
-        _, (_, final_scores, _) = jax.lax.while_loop(
-            w_cond, w_body, (jnp.int32(0), (tokens0, scores0, fin0))
-        )
-    else:
-        _, final_scores, _ = jax.lax.fori_loop(0, max_length, body, (tokens0, scores0, fin0))
-    scores_ref[...] = final_scores
+    return (
+        (mem_ref, u_ref, w_h_ref, v_ref),
+        emb_ref, layer_refs, w_out_ref, b_out_ref, outs, h_ref, c_ref,
+    )
 
 
 def grid_beam_vmem_bytes_estimate(
@@ -642,7 +472,7 @@ def pallas_full_grid_beam_decode(
     """Grid-memory analog of ``pallas_full_beam_decode``: returns
     (best tokens (B, T), best scores (B,)), semantically identical to the
     scan beam over ``Seq2SeqModel.decode_step`` with expanded grid memory."""
-    from img2latex_tpu.decoding.decode import backtrack_and_select
+    from img2latex_tpu.ops.pallas.beam_decode import _select_from_beam_tiles
 
     B, S, E = memory.shape
     K = int(beam_size)
@@ -702,12 +532,9 @@ def pallas_full_grid_beam_decode(
             ),
         )
 
-    Bt = batch_tile
-    tok_seq = tok_kb.reshape(nc, T, K, Bt).transpose(1, 0, 3, 2).reshape(T, Bp, K)
-    beam_seq = beam_kb.reshape(nc, T, K, Bt).transpose(1, 0, 3, 2).reshape(T, Bp, K)
-    final_scores = scores_kb.reshape(nc, K, Bt).transpose(0, 2, 1).reshape(Bp, K)
-    tokens, scores = backtrack_and_select(tok_seq, beam_seq, final_scores, Bp, K, cfg)
-    return tokens[:B], scores[:B]
+    return _select_from_beam_tiles(
+        tok_kb, beam_kb, scores_kb, nc, T, K, batch_tile, Bp, B, cfg
+    )
 
 
 def pallas_full_grid_sample_decode(
@@ -773,18 +600,4 @@ def pallas_full_grid_sample_decode(
             interpret=interpret,
         )(mem_t, u_t, *weight_args, tile_seed.reshape(1, 1))
 
-    Bp = _round_up(B, batch_tile)
-    mem_p = jnp.pad(mem, ((0, Bp - B), (0, 0), (0, 0))) if Bp != B else mem
-    u_p = jnp.pad(u, ((0, Bp - B), (0, 0), (0, 0))) if Bp != B else u
-    nc = Bp // batch_tile
-    if nc == 1:
-        tokens_tb = one_tile((mem_p, u_p, seeds[0]))[None]
-    else:
-        chunks = (
-            mem_p.reshape(nc, batch_tile, S, E),
-            u_p.reshape((nc, batch_tile) + u_p.shape[1:]),
-            seeds,
-        )
-        tokens_tb = jax.lax.map(one_tile, chunks)
-    tokens = jnp.swapaxes(tokens_tb, 1, 2).reshape(Bp, max_length)
-    return tokens[:B]
+    return _run_tiled(one_tile, (mem, u), B, batch_tile, max_length, per_tile=seeds)

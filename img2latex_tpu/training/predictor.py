@@ -68,6 +68,65 @@ def _merge_static(arrs, statics):
     return arrs
 
 
+def _pallas_runner(encode_fn, variables, mesh, weights, kernel_path, wants_seed=False):
+    """Shared jit/shard_map scaffolding for every whole-decode kernel path
+    (greedy / beam / sampling x vector / grid): encode under GSPMD, then the
+    per-device kernel — plain ``jax.jit`` on one device, or ``shard_map``
+    over the product mesh with images/tokens P('data') and the packed
+    weights replicated (statics ride the closure, see :func:`_split_static`).
+
+    ``kernel_path(wts, memory[, seed])`` -> (B, T) tokens.  ``wants_seed``:
+    sampling kernels take an int32 seed derived from the runtime rng; under
+    the mesh each shard offsets it by its data-axis coordinate so every chip
+    draws a distinct stream.  Returns ``run(images_u8, rng)``.
+    """
+    if mesh is None:
+
+        @jax.jit
+        def run(images_u8, rng):
+            memory = encode_fn(variables, images_u8)
+            if wants_seed:
+                seed = jax.random.bits(rng, dtype=jnp.uint32).astype(jnp.int32)
+                return kernel_path(weights, memory, seed)
+            return kernel_path(weights, memory)
+
+        return run
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    w_arrays, w_static = _split_static(weights)
+    if wants_seed:
+
+        def shard_fn(wts, memory, seed):
+            # decorrelate shards: offset the seed by the data-axis
+            # coordinate so each chip draws a distinct stream
+            seed = seed + jax.lax.axis_index("data").astype(jnp.int32) * 7919
+            return kernel_path(_merge_static(wts, w_static), memory, seed)
+
+        in_specs = (P(), P("data"), P())
+    else:
+
+        def shard_fn(wts, memory):
+            return kernel_path(_merge_static(wts, w_static), memory)
+
+        in_specs = (P(), P("data"))
+
+    local = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=in_specs, out_specs=P("data"), check_vma=False
+    )
+    data_sh = NamedSharding(mesh, P("data"))
+
+    @partial(jax.jit, in_shardings=(data_sh, None), out_shardings=data_sh)
+    def run(images_u8, rng):
+        memory = encode_fn(variables, images_u8)
+        if wants_seed:
+            seed = jax.random.bits(rng, dtype=jnp.uint32).astype(jnp.int32)
+            return local(w_arrays, memory, seed)
+        return local(w_arrays, memory)
+
+    return run
+
+
 class Predictor:
     def __init__(
         self,
@@ -371,40 +430,9 @@ class Predictor:
                         interpret=interp,
                     )
 
-            if mesh is None:
-
-                @jax.jit
-                def run_sample(images_u8, rng):
-                    memory = encode_fn(variables, images_u8)
-                    seed = jax.random.bits(rng, dtype=jnp.uint32).astype(jnp.int32)
-                    return sample_kernel_path(weights, memory, seed)
-
-            else:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                w_arrays, w_static = _split_static(weights)
-
-                def shard_sample(wts, memory, seed):
-                    # decorrelate shards: offset the seed by the data-axis
-                    # coordinate so each chip draws a distinct stream
-                    seed = seed + jax.lax.axis_index("data").astype(jnp.int32) * 7919
-                    return sample_kernel_path(_merge_static(wts, w_static), memory, seed)
-
-                local = jax.shard_map(
-                    shard_sample,
-                    mesh=mesh,
-                    in_specs=(P(), P("data"), P()),
-                    out_specs=P("data"),
-                    check_vma=False,
-                )
-                data_sh = NamedSharding(mesh, P("data"))
-
-                @partial(jax.jit, in_shardings=(data_sh, None), out_shardings=data_sh)
-                def run_sample(images_u8, rng):
-                    memory = encode_fn(variables, images_u8)
-                    seed = jax.random.bits(rng, dtype=jnp.uint32).astype(jnp.int32)
-                    return local(w_arrays, memory, seed)
-
+            run_sample = _pallas_runner(
+                encode_fn, variables, mesh, weights, sample_kernel_path, wants_seed=True
+            )
             self._jit_cache[key] = run_sample
             return run_sample
 
@@ -444,35 +472,7 @@ class Predictor:
                     )
                     return tokens
 
-            if mesh is None:
-
-                @jax.jit
-                def run_beam(images_u8, rng):
-                    memory = encode_fn(variables, images_u8)
-                    return beam_kernel_path(weights, memory)
-
-            else:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                w_arrays, w_static = _split_static(weights)
-
-                def shard_beam(wts, memory):
-                    return beam_kernel_path(_merge_static(wts, w_static), memory)
-
-                local = jax.shard_map(
-                    shard_beam,
-                    mesh=mesh,
-                    in_specs=(P(), P("data")),
-                    out_specs=P("data"),
-                    check_vma=False,
-                )
-                data_sh = NamedSharding(mesh, P("data"))
-
-                @partial(jax.jit, in_shardings=(data_sh, None), out_shardings=data_sh)
-                def run_beam(images_u8, rng):
-                    memory = encode_fn(variables, images_u8)
-                    return local(w_arrays, memory)
-
+            run_beam = _pallas_runner(encode_fn, variables, mesh, weights, beam_kernel_path)
             self._jit_cache[key] = run_beam
             return run_beam
 
@@ -528,38 +528,10 @@ class Predictor:
                         interpret=interp,
                     )
 
-            if mesh is None:
-
-                @jax.jit
-                def run_pallas(images_u8, rng):
-                    memory = encode_fn(variables, images_u8)
-                    return pallas_kernel(weights, memory)
-
-            else:
-                # Pallas kernels are per-device programs — the encoder runs
-                # GSPMD over the mesh; only the kernel call wraps in
-                # shard_map so each chip decodes its local batch shard.
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                w_arrays, w_static = _split_static(weights)
-
-                def shard_greedy(wts, memory):
-                    return pallas_kernel(_merge_static(wts, w_static), memory)
-
-                local = jax.shard_map(
-                    shard_greedy,
-                    mesh=mesh,
-                    in_specs=(P(), P("data")),
-                    out_specs=P("data"),
-                    check_vma=False,
-                )
-                data_sh = NamedSharding(mesh, P("data"))
-
-                @partial(jax.jit, in_shardings=(data_sh, None), out_shardings=data_sh)
-                def run_pallas(images_u8, rng):
-                    memory = encode_fn(variables, images_u8)
-                    return local(w_arrays, memory)
-
+            # Pallas kernels are per-device programs — the encoder runs GSPMD
+            # over the mesh; only the kernel call wraps in shard_map so each
+            # chip decodes its local batch shard (_pallas_runner).
+            run_pallas = _pallas_runner(encode_fn, variables, mesh, weights, pallas_kernel)
             self._jit_cache[key] = run_pallas
             return run_pallas
 
