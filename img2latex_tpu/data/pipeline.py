@@ -99,6 +99,7 @@ class Im2LatexDataset:
         # BatchLoader decodes with a thread pool — give each worker thread
         # its own stream (independent via SeedSequence.spawn).
         self._aug_seed_seq = np.random.SeedSequence(seed)
+        self._aug_spawn_lock = threading.Lock()
         self._aug_local = threading.local()
         self._cache: Optional[List[np.ndarray]] = None
         if load_in_memory and not augment:
@@ -128,7 +129,13 @@ class Im2LatexDataset:
     def _aug_rng(self) -> np.random.Generator:
         rng = getattr(self._aug_local, "rng", None)
         if rng is None:
-            rng = np.random.default_rng(self._aug_seed_seq.spawn(1)[0])
+            # SeedSequence.spawn is NOT thread-safe (non-atomic read+bump of
+            # n_children_spawned); decode-pool threads first call this
+            # concurrently, and an unguarded race could hand two workers the
+            # same child stream (identical augmentation sequences).
+            with self._aug_spawn_lock:
+                child = self._aug_seed_seq.spawn(1)[0]
+            rng = np.random.default_rng(child)
             self._aug_local.rng = rng
         return rng
 
@@ -238,7 +245,10 @@ class BatchLoader:
         c = self.dataset.channels
         L = self.dataset.tokenizer.max_sequence_length
         images = np.zeros((B, h, w, c), dtype=np.uint8)
-        formulas = np.zeros((B, L), dtype=np.int32)
+        # Padded tail rows must be ALL-PAD formulas (the eval-step masking
+        # contract); PAD is id 0 for the standard specials, but a tokenizer
+        # built with a custom special_tokens order may place it elsewhere.
+        formulas = np.full((B, L), self.dataset.tokenizer.pad_token_id, dtype=np.int32)
         loaded = list(pool.map(self.dataset.__getitem__, indices.tolist()))
         for j, (img, ids) in enumerate(loaded):
             images[j] = img
@@ -266,23 +276,54 @@ class BatchLoader:
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def bounded_put(item) -> bool:
+            """Enqueue unless the consumer has gone away (stop set)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
+            err: Optional[BaseException] = None
             with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
                 try:
                     for chunk, global_valid in chunks:
-                        out_q.put(self._make_batch(pool, chunk, global_valid))
+                        if stop.is_set():
+                            break
+                        if not bounded_put(self._make_batch(pool, chunk, global_valid)):
+                            break
+                except BaseException as e:  # forwarded to the consumer
+                    err = e
                 finally:
-                    out_q.put(sentinel)
+                    bounded_put((sentinel, err))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = out_q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = out_q.get()
+                if isinstance(item, tuple) and len(item) == 2 and item[0] is sentinel:
+                    if item[1] is not None:
+                        raise item[1]
+                    break
+                yield item
+        finally:
+            # Early exit (evaluator max_batches, an exception mid-epoch, a
+            # dropped iterator): unblock + reap the producer and its pool —
+            # otherwise one blocked thread + ThreadPoolExecutor would leak
+            # per abandoned epoch.
+            stop.set()
+            try:
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=30.0)
 
 
 def create_data_loaders(

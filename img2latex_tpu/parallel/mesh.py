@@ -94,7 +94,25 @@ def product_mesh(cfg: Config, *batch_sizes: int, local_only: bool = False) -> Op
     for b in batch_sizes:
         data = math.gcd(data, int(b))
     if data <= 1 and model <= 1:
+        if want:
+            # Explicit use_mesh=True must never silently fall back to the
+            # single-device jit (1-of-N-chips training with no error).
+            raise ValueError(
+                f"hardware.use_mesh=True but batch sizes {batch_sizes} share no "
+                f"common divisor with the {n} visible devices (model axis "
+                f"{model}); choose batch sizes divisible by the data-parallel "
+                f"degree"
+            )
         return None
+    if data * model != n:
+        import logging
+
+        logging.getLogger("img2latex_tpu").warning(
+            "product mesh degraded to %dx%d over %d of %d visible devices "
+            "(batch sizes %s); choose batches divisible by the device count "
+            "to use every chip",
+            data, model, data * model, n, batch_sizes,
+        )
     if not local_only and jax.process_count() > 1 and data * model != n:
         raise ValueError(
             f"multi-host run: batch sizes {batch_sizes} force a {data}x{model} "
@@ -198,12 +216,20 @@ def put_global_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 def host_local_view(arr: Any) -> np.ndarray:
     """The rows of a P('data')-sharded array addressable from this process,
-    concatenated in row order (the whole array on single-process runs)."""
+    concatenated in row order (the whole array on single-process runs).
+
+    With a model axis > 1 the array is replicated over 'model', so each data
+    block appears once PER model-axis device in ``addressable_shards`` —
+    keep exactly one shard per distinct row range or the view would contain
+    duplicated rows."""
     if jax.process_count() == 1:
         return np.asarray(arr)
-    shards = sorted(
-        arr.addressable_shards, key=lambda s: (s.index[0].start or 0) if s.index else 0
-    )
+    by_start: Dict[int, Any] = {}
+    for s in arr.addressable_shards:
+        start = (s.index[0].start or 0) if s.index else 0
+        if start not in by_start:
+            by_start[start] = s
+    shards = [by_start[k] for k in sorted(by_start)]
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 

@@ -50,7 +50,11 @@ def evaluate_checkpoint(
     pred = predictor or Predictor.from_checkpoint(
         checkpoint_path, config_overrides=config_overrides
     )
-    cfg = pred.cfg
+    # Work on a copy: a caller-supplied predictor must come back with its
+    # config untouched (data_dir/batch overrides here are per-evaluation).
+    import copy
+
+    cfg = copy.deepcopy(pred.cfg)
     if data_dir:
         cfg.data.data_dir = data_dir
     if batch_size:
@@ -96,29 +100,36 @@ def evaluate_checkpoint(
         B = batch["images"].shape[0]
         if run is None:
             run = pred._decode_fn(B, dcfg)
+        # n_valid is the GLOBAL count; this process's rows are n_valid_local
+        # (equal on single-process runs).  Slice/count with the local number
+        # — the global one would clamp silently and double-count images on
+        # multi-host runs (the Trainer does the same, trainer.py n_valid_local).
         n_valid = int(batch.get("n_valid", B))
+        n_local = int(batch.get("n_valid_local", n_valid))
         rng, sub = jax.random.split(rng)
         t0 = time.perf_counter()
         tokens = run(jax.numpy.asarray(batch["images"]), sub)
         pred_ids = trim_host(
-            np.asarray(tokens)[:n_valid], tok.end_token_id, tok.pad_token_id,
+            np.asarray(tokens)[:n_local], tok.end_token_id, tok.pad_token_id,
             start_id=tok.start_token_id,
         )
         if bi == 0:
             first_batch_s = time.perf_counter() - t0
-            first_batch_images = n_valid
+            first_batch_images = n_local
         else:
             decode_s += time.perf_counter() - t0
         tgt_ids = trim_host(
-            np.asarray(batch["formulas"])[:n_valid, 1:],  # strip START
+            np.asarray(batch["formulas"])[:n_local, 1:],  # strip START
             tok.end_token_id,
             tok.pad_token_id,
         )
         all_preds.extend(pred_ids)
         all_tgts.extend(tgt_ids)
         ds = loader.dataset
-        for j in range(n_valid):
-            idx = sample_offset + j
+        # Global sample index of this process's first row in the batch.
+        row_base = sample_offset + loader.process_index * loader.local_batch_size
+        for j in range(n_local):
+            idx = row_base + j
             name = ds.samples[idx][0] if idx < len(ds.samples) and not loader.shuffle else None
             rows.append(
                 {
@@ -128,7 +139,7 @@ def evaluate_checkpoint(
                 }
             )
         sample_offset += n_valid
-        n_images += n_valid
+        n_images += n_local
 
     return _finish(
         cfg, tok, split, all_preds, all_tgts, rows, n_images, decode_s,

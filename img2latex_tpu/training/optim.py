@@ -152,6 +152,15 @@ class PlateauScheduler:
             return reduced
         return False
 
+    def state_dict(self) -> dict:
+        """Resume state (torch ReduceLROnPlateau also checkpoints these)."""
+        return {"lr": self.lr, "best": self.best, "num_bad_epochs": self.num_bad_epochs}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = float(d["lr"])
+        self.best = None if d.get("best") is None else float(d["best"])
+        self.num_bad_epochs = int(d.get("num_bad_epochs", 0))
+
 
 class EarlyStopping:
     """val-loss early stop (reference ``trainer.py:759-765``)."""
@@ -170,3 +179,10 @@ class EarlyStopping:
             return False
         self.num_bad_epochs += 1
         return self.num_bad_epochs >= self.patience
+
+    def state_dict(self) -> dict:
+        return {"best": self.best, "num_bad_epochs": self.num_bad_epochs}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.best = None if d.get("best") is None else float(d["best"])
+        self.num_bad_epochs = int(d.get("num_bad_epochs", 0))

@@ -618,7 +618,15 @@ class Predictor:
         h, _, c = self.cfg.image_shape
         mode = "L" if c == 1 else "RGB"
         if isinstance(image, str):
-            img = PILImage.open(image).convert(mode)
+            try:
+                img = PILImage.open(image).convert(mode)
+            except Exception:
+                # Missing/corrupt file: zero canvas, matching the fixed-canvas
+                # path's contract (data.utils.load_image_u8 / reference
+                # data/utils.py:84-90) so a bad file can't abort a bucketed
+                # evaluation run.
+                logger.warning("Failed to load %s (zero canvas substituted)", image)
+                return np.zeros((h, canvas_w, c), dtype=np.uint8)
         elif isinstance(image, PILImage.Image):
             img = image.convert(mode)
         else:

@@ -40,6 +40,7 @@ from img2latex_tpu.training.optim import (
     EarlyStopping,
     PlateauScheduler,
     build_optimizer,
+    get_learning_rate,
     set_learning_rate,
 )
 from img2latex_tpu.training.steps import TrainState, create_train_state, make_eval_step, make_train_step
@@ -219,6 +220,12 @@ class Trainer:
             "config": self.cfg.to_dict(),
             "tokenizer_config": self.tokenizer.to_config(),
             "metrics": self.history.get(epoch, {}),
+            # Host-side loop state: without these a resume restarts the
+            # plateau scheduler at the config LR (the first post-resume
+            # plateau would then RAISE the effective LR) and resets the
+            # early-stop patience window.
+            "scheduler": self.scheduler.state_dict(),
+            "early_stopping": self.early_stopping.state_dict(),
         }
         ckpt_lib.save_checkpoint(
             self.ckpt_dir, state_tree, meta, step=int(self.state.step), is_best=is_best
@@ -246,8 +253,20 @@ class Trainer:
             self.state = put_state(self.state, self.mesh)
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         self.best_val_loss = float(meta.get("best_val_loss", float("inf")))
+        if "scheduler" in meta:
+            self.scheduler.load_state_dict(meta["scheduler"])
+        else:
+            # Older checkpoint without host loop state: at least re-sync the
+            # scheduler's LR from the restored opt_state so a post-resume
+            # plateau can't RAISE the learning rate.
+            lr = get_learning_rate(self.state.opt_state)
+            if lr is not None:
+                self.scheduler.lr = float(lr)
+        if "early_stopping" in meta:
+            self.early_stopping.load_state_dict(meta["early_stopping"])
         logger.info(
-            "Resumed from %s at step %d (epoch %d)", path, int(self.state.step), self.start_epoch
+            "Resumed from %s at step %d (epoch %d, lr %.3e)",
+            path, int(self.state.step), self.start_epoch, self.scheduler.lr,
         )
 
     # ------------------------------------------------------------------

@@ -82,6 +82,15 @@ class TestBucketAssignment:
         assert pred._assign_bucket(wide, [240]) is None  # 240 + 16 >= 256
         assert pred._assign_bucket(wide, [236, 240]) == 236  # 236 + 16 < 256
 
+    def test_missing_file_zero_canvas_at_width(self):
+        """Bucketed decode substitutes a zero canvas for unreadable files
+        (the fixed-canvas contract, data.utils load_image_u8) instead of
+        aborting the evaluation."""
+        pred, cfg = _predictor()
+        out = pred._prepare_image_at_width("/nonexistent/xyz.png", 64)
+        assert out.shape == (32, 64, 1)
+        assert (out == 0).all()
+
     def test_natural_size_dispatch(self, tmp_path):
         pred, _ = _predictor()
         img = _content_images([50], h=20)[0]

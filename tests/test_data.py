@@ -189,6 +189,76 @@ class TestPipeline:
             assert b["formulas"].shape == (5, 20)
         assert int(batches[-1]["n_valid"]) == 2
 
+    def _dataset(self, corpus, tok=None, max_len=20):
+        import os
+
+        formulas = read_formulas(os.path.join(corpus, "im2latex_formulas.norm.lst"))
+        if tok is None:
+            tok = LaTeXTokenizer(max_sequence_length=max_len)
+            tok.fit(formulas)
+        return Im2LatexDataset(
+            os.path.join(corpus, "im2latex_train_filter.lst"),
+            formulas,
+            os.path.join(corpus, "img"),
+            tok,
+            img_size=(32, 128),
+            channels=1,
+        )
+
+    def test_loader_early_break_reaps_producer(self, corpus):
+        """Abandoning the iterator (evaluator max_batches, mid-epoch error)
+        must not leak the producer thread or its decode pool."""
+        import threading
+        import time
+
+        ds = self._dataset(corpus)
+        loader = BatchLoader(ds, batch_size=4, prefetch=1, num_threads=2)
+        baseline = threading.active_count()
+        for _ in range(3):
+            for batch in loader:
+                break  # GeneratorExit at the yield
+        deadline = time.time() + 10.0
+        while threading.active_count() > baseline and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= baseline
+        # and the loader still works end-to-end afterwards
+        assert len(list(loader)) == len(loader)
+
+    def test_loader_forwards_producer_exception(self, corpus):
+        """A decode failure inside the producer thread must surface in the
+        consuming loop, not silently truncate the epoch."""
+        ds = self._dataset(corpus)
+
+        class Boom(Exception):
+            pass
+
+        def broken(i):
+            raise Boom("decode failed")
+
+        ds.__getitem__ = broken  # instance attribute shadows the method
+        loader = BatchLoader(ds, batch_size=4)
+        with pytest.raises(Boom):
+            list(loader)
+
+    def test_loader_final_batch_pads_with_pad_id(self, corpus):
+        """Padded tail rows must be ALL-PAD even when PAD is not id 0
+        (custom special-token order)."""
+        import os
+
+        formulas = read_formulas(os.path.join(corpus, "im2latex_formulas.norm.lst"))
+        tok = LaTeXTokenizer(
+            special_tokens={"START": "<START>", "PAD": "<PAD>", "END": "<END>", "UNK": "<UNK>"},
+            max_sequence_length=20,
+        )
+        tok.fit(formulas)
+        assert tok.pad_token_id == 1  # custom order: START=0, PAD=1
+        ds = self._dataset(corpus, tok=tok)
+        batches = list(BatchLoader(ds, batch_size=5))
+        last = batches[-1]
+        n_valid = int(last["n_valid"])
+        assert n_valid < last["formulas"].shape[0]
+        assert (last["formulas"][n_valid:] == tok.pad_token_id).all()
+
     def test_loader_drop_last_and_shuffle_determinism(self, corpus):
         import os
 

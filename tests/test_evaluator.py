@@ -67,6 +67,20 @@ class TestEvaluator:
         )
         assert out["num_images"] == 8  # 2 batches x 4
 
+    def test_does_not_mutate_predictor_cfg(self, trained_ckpt):
+        """Per-evaluation overrides (data_dir, batch sizes) must not stick to
+        a caller-supplied predictor's config."""
+        from img2latex_tpu.training.predictor import Predictor
+
+        ckpt, corpus, _ = trained_ckpt
+        pred = Predictor.from_checkpoint(ckpt)
+        before = pred.cfg.to_dict()
+        evaluate_checkpoint(
+            ckpt, predictor=pred, data_dir=corpus, split="test",
+            batch_size=4, max_batches=1,
+        )
+        assert pred.cfg.to_dict() == before
+
     def test_train_throughput_metric(self, trained_ckpt):
         _, _, root = trained_ckpt
         metrics = json.loads(

@@ -256,6 +256,20 @@ class TestTrainerMesh:
         leaf = jax.tree_util.tree_leaves(tr.state.params)[0]
         assert len(getattr(leaf.sharding, "device_set", {0})) == 1
 
+    def test_use_mesh_true_with_indivisible_batch_raises(self):
+        """Explicit use_mesh=True must never silently fall back to the
+        single-device jit (1-of-N-chips training with no error): a batch
+        that shares no divisor with the device pool raises."""
+        from img2latex_tpu.parallel.mesh import product_mesh
+
+        cfg = Config()
+        cfg.hardware.use_mesh = True
+        with pytest.raises(ValueError, match="use_mesh=True"):
+            product_mesh(cfg, 7)  # gcd(7, 8 cpu devices) == 1
+        # auto mode degrades (with a warning), explicit True does not
+        cfg.hardware.use_mesh = None
+        assert product_mesh(cfg, 7) is None
+
 
 class TestPredictorMesh:
     """Predictor/evaluate product path shards decode over the mesh."""

@@ -184,6 +184,12 @@ class TestEndToEnd:
             np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0]),
         )
         assert t2.start_epoch == 3
+        # Host loop state survives resume: the plateau scheduler must come
+        # back with its reduced LR + patience window (else the first
+        # post-resume plateau would RAISE the LR back toward the config
+        # value) and early stopping with its best/patience counters.
+        assert t2.scheduler.state_dict() == trainer.scheduler.state_dict()
+        assert t2.early_stopping.state_dict() == trainer.early_stopping.state_dict()
 
     def test_predictor_from_checkpoint(self, trained, corpus):
         cfg, tok, trainer, _, paths, _ = trained
