@@ -25,32 +25,52 @@ def maybe_initialize_distributed(
     """Initialize jax.distributed when multi-host env/args are present.
 
     Detection order: explicit args -> JAX_COORDINATOR_ADDRESS env (with
-    JAX_NUM_PROCESSES/JAX_PROCESS_ID) -> TPU pod metadata (auto-detected by
-    jax.distributed.initialize with no args on Cloud TPU pods).  Returns True
-    when multi-host mode is active.
+    JAX_NUM_PROCESSES/JAX_PROCESS_ID) -> Cloud-TPU-pod env markers (no-arg
+    ``jax.distributed.initialize``, which self-detects pod topology).
+    Returns True when multi-host mode is active.
+
+    ORDER MATTERS: ``jax.distributed.initialize`` must run before ANY call
+    that initializes the XLA backend — including ``jax.process_count()`` /
+    ``jax.devices()`` — or it raises ("must be called before any JAX calls
+    ...").  So the coordinator decision is made purely from args/env, and
+    jax state is only queried afterwards (or when nothing is configured).
     """
     import jax
 
-    if jax.process_count() > 1:
-        return True  # already initialized
     coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     env_np = os.environ.get("JAX_NUM_PROCESSES")
     env_pid = os.environ.get("JAX_PROCESS_ID")
-    if coordinator_address:
-        num_processes = num_processes or (int(env_np) if env_np else None)
-        process_id = process_id if process_id is not None else (int(env_pid) if env_pid else None)
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-        logger.info(
-            "jax.distributed initialized: process %d/%d",
-            jax.process_index(),
-            jax.process_count(),
-        )
+    try:
+        if coordinator_address:
+            num_processes = num_processes or (int(env_np) if env_np else None)
+            process_id = (
+                process_id if process_id is not None else (int(env_pid) if env_pid else None)
+            )
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        elif any(
+            os.environ.get(k)
+            for k in ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "MEGASCALE_COORDINATOR_ADDRESS")
+        ):
+            # Cloud TPU pod slice: no-arg initialize self-detects the
+            # coordinator + topology from the TPU metadata.
+            jax.distributed.initialize()
+        else:
+            return jax.process_count() > 1
+    except RuntimeError as e:
+        # Already initialized (re-entrant call), or backends were touched
+        # first in-process; surface the state we actually have.
+        logger.warning("jax.distributed.initialize skipped: %s", e)
         return jax.process_count() > 1
-    return False
+    logger.info(
+        "jax.distributed initialized: process %d/%d",
+        jax.process_index(),
+        jax.process_count(),
+    )
+    return jax.process_count() > 1
 
 
 def is_primary_host() -> bool:

@@ -88,6 +88,8 @@ class InferenceServer:
         self.decode_options = decode_options
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
+        self._submit_lock = threading.Lock()
+        self._closed = False
         self._worker: Optional[threading.Thread] = None
         self.stats = ServerStats()
 
@@ -96,18 +98,32 @@ class InferenceServer:
         if self._worker is not None:
             return self
         self._stop.clear()
+        self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True, name="img2latex-serve")
         self._worker.start()
         return self
 
     def stop(self, drain: bool = True) -> None:
-        if self._worker is None:
-            return
+        with self._submit_lock:
+            # Taken under the submit lock: a submit racing with stop would
+            # otherwise enqueue after the drain and its future never resolve.
+            if self._worker is None:
+                return
+            self._closed = True
         if drain:
             self._queue.join()
         self._stop.set()
         self._worker.join(timeout=30)
         self._worker = None
+        # Reject anything that slipped in after the drain.
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not req.future.done():
+                req.future.set_exception(RuntimeError("InferenceServer stopped"))
+            self._queue.task_done()
 
     def __enter__(self) -> "InferenceServer":
         return self.start()
@@ -118,11 +134,12 @@ class InferenceServer:
     # ------------------------------------------------------------------
     def submit(self, image: ImageLike, **options: Any) -> "Future[str]":
         """Enqueue one image; resolves to the decoded LaTeX string."""
-        if self._worker is None:
-            raise RuntimeError("InferenceServer not started")
-        fut: Future = Future()
-        key = tuple(sorted({**self.decode_options, **options}.items()))
-        self._queue.put(_Request(image, fut, time.perf_counter(), key))
+        with self._submit_lock:
+            if self._worker is None or self._closed:
+                raise RuntimeError("InferenceServer not started")
+            fut: Future = Future()
+            key = tuple(sorted({**self.decode_options, **options}.items()))
+            self._queue.put(_Request(image, fut, time.perf_counter(), key))
         return fut
 
     def predict_many(self, images: List[ImageLike], timeout: Optional[float] = None) -> List[str]:
@@ -165,6 +182,12 @@ class InferenceServer:
                 )
                 now = time.perf_counter()
                 for req, result in zip(batch, results):
+                    # A queued future can be cancel()ed client-side at any
+                    # moment (nothing marks it running); a cancelled future
+                    # rejects set_result (InvalidStateError) and must not
+                    # poison the rest of the batch.
+                    if not req.future.set_running_or_notify_cancel():
+                        continue
                     req.future.set_result(result)
                     self.stats.record_latency(now - req.enqueued_at)
                 self.stats.requests += len(batch)

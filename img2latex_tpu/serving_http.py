@@ -27,6 +27,7 @@ import base64
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 from urllib.parse import parse_qs, urlparse
@@ -123,8 +124,17 @@ class _Handler(BaseHTTPRequestHandler):
                     _image_from_bytes(base64.b64decode(b)) for b in payload["images_b64"]
                 ]
                 futs = [self.inference.submit(img, **opts) for img in images]
+                # One SHARED deadline for the whole batch (not timeout x N —
+                # a loaded server would otherwise block the handler for up
+                # to N * request_timeout_s before answering).
+                deadline = time.monotonic() + self.request_timeout_s
                 self._send_json(
-                    {"predictions": [f.result(timeout=self.request_timeout_s) for f in futs]}
+                    {
+                        "predictions": [
+                            f.result(timeout=max(0.0, deadline - time.monotonic()))
+                            for f in futs
+                        ]
+                    }
                 )
             else:
                 self._send_json({"error": f"unknown path {parsed.path}"}, status=404)

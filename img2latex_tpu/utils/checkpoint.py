@@ -92,9 +92,11 @@ def _prune(ckpt_dir: Path, keep: int) -> None:
 
 def _is_complete(step_dir: Path) -> bool:
     """A usable checkpoint has its state subdir with Orbax's metadata inside
-    (an interrupted save leaves a partial directory)."""
+    AND the meta sidecar (save order is state -> meta.json, so a crash
+    between the two must not make this step the 'latest' — restore would
+    lose the config/tokenizer sidecars and the resume counters)."""
     state = step_dir / _STATE_SUBDIR
-    return state.is_dir() and any(state.iterdir())
+    return state.is_dir() and any(state.iterdir()) and (step_dir / _META_FILE).exists()
 
 
 def _list_steps(ckpt_dir: Path) -> list:
@@ -138,7 +140,8 @@ def restore_checkpoint(
     if step is None:
         step = latest_step(ckpt_dir)
     elif step == -1:
-        step = best_step(ckpt_dir) or latest_step(ckpt_dir)
+        best = best_step(ckpt_dir)  # step 0 is a valid best — no `or`
+        step = best if best is not None else latest_step(ckpt_dir)
     if step is None:
         raise FileNotFoundError(f"No checkpoints under {ckpt_dir}")
     step_dir = ckpt_dir / f"step_{step}"

@@ -27,7 +27,13 @@ def main() -> None:
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    jax.distributed.initialize(
+    # Bootstrap through the PRODUCT helper (cli.py calls it the same way):
+    # it must run jax.distributed.initialize before anything touches the
+    # XLA backend — a regression here once made multi-host init impossible
+    # (jax.process_count() pre-check initialized the backend first).
+    from img2latex_tpu.parallel.distributed import maybe_initialize_distributed
+
+    assert maybe_initialize_distributed(
         coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
     )
     assert jax.process_count() == nproc

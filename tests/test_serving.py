@@ -88,6 +88,30 @@ class TestServer:
         with pytest.raises(RuntimeError):
             srv.submit(imgs[0])
 
+    def test_cancelled_future_does_not_poison_batch(self, predictor):
+        """A client-side cancel() on a queued request must not break the
+        other requests in the same batch (set_result on a cancelled future
+        raises InvalidStateError)."""
+        pred, imgs = predictor
+        srv = InferenceServer(pred, max_batch=4, max_wait_ms=200)
+        srv.start()
+        try:
+            futures = [srv.submit(img) for img in imgs[:3]]
+            assert futures[1].cancel()  # queued, not running -> cancellable
+            r0 = futures[0].result(timeout=60)
+            r2 = futures[2].result(timeout=60)
+            assert isinstance(r0, str) and isinstance(r2, str)
+            assert futures[1].cancelled()
+        finally:
+            srv.stop()
+
+    def test_submit_after_stop_raises(self, predictor):
+        pred, imgs = predictor
+        srv = InferenceServer(pred).start()
+        srv.stop()
+        with pytest.raises(RuntimeError):
+            srv.submit(imgs[0])
+
     def test_mixed_options_split_batches(self, predictor):
         pred, imgs = predictor
         with InferenceServer(pred, max_batch=4, max_wait_ms=20) as srv:

@@ -143,6 +143,34 @@ class TestCheckpointRobustness:
         state, meta = ck.restore_checkpoint(tmp_path)
         assert meta["epoch"] == 1
 
+    def test_missing_meta_sidecar_skipped(self, tmp_path):
+        """A crash between the Orbax state save and the meta.json write must
+        not make that step 'latest' (restore would lose config/tokenizer
+        sidecars and the resume counters)."""
+        import jax.numpy as jnp
+
+        from img2latex_tpu.utils import checkpoint as ck
+
+        tree = {"w": jnp.arange(4.0)}
+        ck.save_checkpoint(tmp_path, tree, {"epoch": 1}, step=10)
+        ck.save_checkpoint(tmp_path, tree, {"epoch": 2}, step=20)
+        (tmp_path / "step_20" / "meta.json").unlink()
+        assert ck.latest_step(tmp_path) == 10
+        _, meta = ck.restore_checkpoint(tmp_path)
+        assert meta["epoch"] == 1
+
+    def test_best_step_zero_honored(self, tmp_path):
+        """A 'best' pointer at step 0 is valid — step=-1 must not fall
+        through to latest (0 is falsy)."""
+        import jax.numpy as jnp
+
+        from img2latex_tpu.utils import checkpoint as ck
+
+        ck.save_checkpoint(tmp_path, {"w": jnp.zeros(2)}, {"epoch": 0}, step=0, is_best=True)
+        ck.save_checkpoint(tmp_path, {"w": jnp.ones(2)}, {"epoch": 5}, step=50)
+        _, meta = ck.restore_checkpoint(tmp_path, step=-1)
+        assert meta["epoch"] == 0
+
 
 class TestErrorPatterns:
     """LaTeX error-pattern detectors (analysis/errors.py) — intended behavior
