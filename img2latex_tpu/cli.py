@@ -93,27 +93,36 @@ def cmd_train(args: argparse.Namespace) -> int:
         },
     )
     set_seed(cfg.training.seed)
-    from img2latex_tpu.parallel.distributed import maybe_initialize_distributed
+    from img2latex_tpu.parallel.distributed import is_primary_host, maybe_initialize_distributed
 
     maybe_initialize_distributed()
     paths = PathManager(args.output_dir)
     registry = ExperimentRegistry(paths)
-    exp_name = registry.register_experiment(
-        cfg.training.experiment_name,
-        description=f"{cfg.model.name} via CLI",
-        config_path=args.config,
-        auto_version=True,
-    )
-    dirs = paths.create_experiment_structure(exp_name)
-    configure_logging(cfg, log_dir=str(dirs["logs"]), experiment_name=exp_name)
-    cfg.to_yaml(paths.experiment_dir(exp_name) / "config.yaml")
+    if is_primary_host():
+        exp_name = registry.register_experiment(
+            cfg.training.experiment_name,
+            description=f"{cfg.model.name} via CLI",
+            config_path=args.config,
+            auto_version=True,
+        )
+        dirs = paths.create_experiment_structure(exp_name)
+        configure_logging(cfg, log_dir=str(dirs["logs"]), experiment_name=exp_name)
+        cfg.to_yaml(paths.experiment_dir(exp_name) / "config.yaml")
+    else:
+        # Multi-host: only the primary touches the shared registry/experiment
+        # tree — auto-versioning from every host would fork the run into
+        # per-host experiment names and race the registry JSON.  The Trainer
+        # gates all its writes on the primary; non-primaries log to console.
+        exp_name = cfg.training.experiment_name
+        configure_logging(cfg)
     log_execution_params(logger, {"command": "train", "experiment": exp_name,
                                   "model": cfg.model.name, "data_dir": cfg.data.data_dir})
 
     tokenizer = LaTeXTokenizer(max_sequence_length=cfg.data.max_seq_length)
     formulas_path = os.path.join(cfg.data.data_dir, cfg.data.formulas_file)
     tokenizer.fit_on_formulas_file(formulas_path)
-    tokenizer.save(str(paths.experiment_dir(exp_name) / "tokenizer.json"))
+    if is_primary_host():
+        tokenizer.save(str(paths.experiment_dir(exp_name) / "tokenizer.json"))
 
     loaders = create_data_loaders(cfg, tokenizer)
     trainer = Trainer(
@@ -170,7 +179,7 @@ def cmd_predict(args: argparse.Namespace) -> int:
         length_penalty=args.length_penalty,
         early_exit=args.early_exit,
     )
-    if len(images) == 1:
+    if len(images) == 1 and not args.output:
         print(predictor.predict(images[0], **options))
         return 0
     results = predictor.predict_batch(images, **options)
@@ -205,9 +214,15 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
                 output_dir = os.path.join(probe, "predictions")
                 break
             probe = os.path.dirname(probe)
+    overrides = _parse_overrides(args)
+    # --set data.data_dir=... is the same override surface as the flags;
+    # route it through the data_dir parameter (the loader reads the copied
+    # config, so leaving it in config_overrides would also work, but the
+    # positional/flag forms take precedence and must compose predictably).
+    set_data_dir = overrides.pop("data.data_dir", None)
     result = evaluate_checkpoint(
         args.checkpoint,
-        data_dir=args.data_dir or getattr(args, "data_dir_opt", None),
+        data_dir=args.data_dir or getattr(args, "data_dir_opt", None) or set_data_dir,
         split=args.split,
         beam_size=args.beam_size,
         max_length=args.max_length,
@@ -219,9 +234,7 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
         batch_size=args.batch_size,
         max_batches=args.max_batches,
         output_dir=output_dir,
-        config_overrides={
-            k: v for k, v in _parse_overrides(args).items() if k != "data.data_dir"
-        },
+        config_overrides=overrides,
     )
     print(json.dumps(result, indent=2))
     return 0

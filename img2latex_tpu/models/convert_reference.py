@@ -27,7 +27,24 @@ architecture) is asserted in tests/test_reference_convert.py.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, List, Tuple
+
+from img2latex_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def _warn_unmatched(unmatched: List[str], family: str) -> None:
+    """A reference checkpoint variant we don't recognize (renamed heads,
+    bidirectional LSTMs, extra modules) must not convert 'successfully' with
+    silently missing weights — the model would run with fresh inits in their
+    place."""
+    if unmatched:
+        logger.warning(
+            "convert(%s): %d state_dict key(s) did not match any mapping and "
+            "were DROPPED: %s — the converted tree may be missing trained "
+            "weights", family, len(unmatched), ", ".join(sorted(unmatched)),
+        )
 
 import numpy as np
 
@@ -89,6 +106,7 @@ def convert_cnn_lstm_state_dict(
     cell = params["decoder"]["cell"]
     cell["lstm"] = {}
     conv_idx = {}
+    unmatched: List[str] = []
     for key, value in state_dict.items():
         m = re.match(r"encoder\.cnn_layers\.(\d+)\.(weight|bias)$", key)
         if m:
@@ -113,7 +131,8 @@ def convert_cnn_lstm_state_dict(
             continue
         if _convert_decoder_key(key, value, cell):
             continue
-        # dropout layers etc. have no params; anything else is unexpected
+        unmatched.append(key)
+    _warn_unmatched(unmatched, "cnn_lstm")
     for i, tree in conv_idx.items():
         params["encoder"][f"Conv_{i}"] = tree
     return params
@@ -144,6 +163,7 @@ def convert_resnet_lstm_state_dict(
     cell = params["decoder"]["cell"]
     cell["lstm"] = {}
     backbone_sd: Dict[str, Any] = {}
+    unmatched: List[str] = []
     for key, value in state_dict.items():
         m = re.match(r"encoder\.resnet\.(\d+)\.(.+)$", key)
         if m:
@@ -160,6 +180,8 @@ def convert_resnet_lstm_state_dict(
             continue
         if _convert_decoder_key(key, value, cell):
             continue
+        unmatched.append(key)
+    _warn_unmatched(unmatched, "resnet_lstm")
     bb_params, bb_stats = unflatten(convert_state_dict(backbone_sd))
     params["encoder"]["backbone"] = bb_params
     batch_stats = {"encoder": {"backbone": bb_stats}} if bb_stats else {}

@@ -61,8 +61,8 @@ def levenshtein_raw(a: Sequence[int], b: Sequence[int]) -> int:
         return n
     if n == 0:
         return m
-    if n > m:  # keep the vectorized row the longer one for fewer iterations
-        a, b, m, n = b, a, n, m
+    if m > n:  # keep the vectorized row (b) the longer one: the Python loop
+        a, b, m, n = b, a, n, m  # then runs min(m, n) iterations
     b_arr = np.asarray(b, dtype=np.int64)
     prev = np.arange(n + 1, dtype=np.int64)
     idx = np.arange(n + 1, dtype=np.int64)

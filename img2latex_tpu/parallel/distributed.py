@@ -40,6 +40,10 @@ def maybe_initialize_distributed(
     coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     env_np = os.environ.get("JAX_NUM_PROCESSES")
     env_pid = os.environ.get("JAX_PROCESS_ID")
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi_worker_pod = len([h for h in hostnames.split(",") if h.strip()]) > 1 or bool(
+        os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    )
     try:
         if coordinator_address:
             num_processes = num_processes or (int(env_np) if env_np else None)
@@ -51,18 +55,18 @@ def maybe_initialize_distributed(
                 num_processes=num_processes,
                 process_id=process_id,
             )
-        elif any(
-            os.environ.get(k)
-            for k in ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "MEGASCALE_COORDINATOR_ADDRESS")
-        ):
-            # Cloud TPU pod slice: no-arg initialize self-detects the
-            # coordinator + topology from the TPU metadata.
+        elif multi_worker_pod:
+            # Multi-worker Cloud TPU pod slice: no-arg initialize self-detects
+            # the coordinator + topology from the TPU metadata.  Single-worker
+            # hostnames (e.g. "localhost" from the local TPU plugin) must NOT
+            # take this path — no-arg initialize requires pod metadata.
             jax.distributed.initialize()
         else:
             return jax.process_count() > 1
-    except RuntimeError as e:
-        # Already initialized (re-entrant call), or backends were touched
-        # first in-process; surface the state we actually have.
+    except (RuntimeError, ValueError) as e:
+        # Already initialized (re-entrant call), backends touched first
+        # in-process, or pod metadata incomplete: degrade to the state we
+        # actually have rather than killing a launchable single-process run.
         logger.warning("jax.distributed.initialize skipped: %s", e)
         return jax.process_count() > 1
     logger.info(

@@ -133,9 +133,14 @@ class ExperimentRegistry:
             try:
                 per_exp = json.loads(mfile.read_text())
             except json.JSONDecodeError:
+                logger.warning("Corrupt %s — starting a fresh step history", mfile)
                 per_exp = {}
         per_exp.setdefault("steps", {})[str(step)] = entry
-        mfile.write_text(json.dumps(per_exp, indent=2))
+        # Atomic replace (like _save): a kill mid-write must not truncate the
+        # whole step history.
+        tmp = mfile.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(per_exp, indent=2))
+        os.replace(tmp, mfile)
 
     # ------------------------------------------------------------------
     def get(self, name: str) -> Optional[Dict[str, Any]]:

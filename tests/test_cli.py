@@ -232,6 +232,31 @@ class TestBatchPredict:
         assert len(out) == 2
         assert all("\t" in line for line in out)
 
+    def test_predict_single_image_honors_output(self, workdir):
+        """-o must write the file even for exactly one image (the
+        single-image fast path previously printed and returned early)."""
+        exp_dir = workdir / "outputs" / "cli_t"
+        out_file = workdir / "single_pred.json"
+        img = sorted((workdir / "data" / "img").iterdir())[0]
+        rc = main([
+            "predict", str(exp_dir / "checkpoints"), str(img), "-o", str(out_file),
+        ])
+        assert rc == 0
+        data = json.loads(out_file.read_text())
+        assert len(data["predictions"]) == 1
+
+    def test_evaluate_set_data_dir_applies(self, workdir, capsys):
+        """--set data.data_dir=... must route to the loader like --data-dir
+        (it was previously filtered out and silently ignored)."""
+        ckpt = str(workdir / "outputs" / "cli_t" / "checkpoints")
+        rc = main([
+            "evaluate", ckpt, "--split", "test", "--max-batches", "1",
+            "--set", f"data.data_dir={workdir / 'data'}",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["num_images"] > 0
+
     def test_predict_empty_dir_errors(self, workdir, tmp_path):
         exp_dir = workdir / "outputs" / "cli_t"
         with pytest.raises(SystemExit):

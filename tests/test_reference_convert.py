@@ -202,6 +202,34 @@ class TestForwardEquivalence:
                 {"model_state_dict": {}, "config": {"model": {"name": "transformer"}}}
             )
 
+    def test_unmatched_keys_warn(self, models):
+        """A variant checkpoint with keys no mapping recognizes must WARN —
+        silently dropping trained weights would let the converted model run
+        with fresh inits in their place."""
+        import logging
+
+        from img2latex_tpu.models.convert_reference import convert_cnn_lstm_state_dict
+        from img2latex_tpu.utils.logging import get_logger
+
+        torch_model, *_ = models
+        sd = dict(torch_model.state_dict())
+        sd["decoder.lstm.weight_ih_l0_reverse"] = sd["decoder.lstm.weight_ih_l0"]
+        c_after = (FILTERS[-1], IMG_H // 2 ** len(FILTERS), IMG_W // 2 ** len(FILTERS))
+        records = []
+
+        class Capture(logging.Handler):
+            def emit(self, record):
+                records.append(record.getMessage())
+
+        log = get_logger("img2latex_tpu.models.convert_reference")
+        h = Capture()
+        log.addHandler(h)
+        try:
+            convert_cnn_lstm_state_dict(sd, c_after)
+        finally:
+            log.removeHandler(h)
+        assert any("DROPPED" in m and "_reverse" in m for m in records)
+
 
 # ---------------------------------------------------------------------------
 # resnet_lstm checkpoint conversion (reference encoder.py:132-249): torch
