@@ -93,12 +93,21 @@ def filter_top_p(probs: jnp.ndarray, p: float) -> jnp.ndarray:
 
 
 def _next_token_probs(logits: jnp.ndarray, cfg: DecodeConfig) -> jnp.ndarray:
-    """Temperature + top-k + top-p filtered, renormalized probabilities."""
+    """Temperature + top-k + top-p filtered, renormalized probabilities.
+
+    The reference RENORMALIZES between the filters (``predictor.py:307-309``
+    divides by the surviving mass right after the top-k zeroing), so with
+    both filters active the nucleus mass is measured over the renormalized
+    top-k survivors — top_p then always bites once the (renormalized)
+    cumulative mass crosses p, regardless of how much raw mass top-k kept.
+    """
     if cfg.temperature != 1.0 and cfg.temperature > 0:
         logits = logits / cfg.temperature
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     if cfg.top_k > 0:
         probs = filter_top_k(probs, cfg.top_k)
+        total = jnp.sum(probs, axis=-1, keepdims=True)
+        probs = jnp.where(total > 0, probs / jnp.maximum(total, 1e-38), probs)
     if cfg.top_p > 0.0:
         probs = filter_top_p(probs, cfg.top_p)
     total = jnp.sum(probs, axis=-1, keepdims=True)
@@ -122,6 +131,10 @@ def greedy_sample_decode(
     Returns token ids ``(B, max_length)`` — generated tokens only (no START),
     with PAD at and after the first END position's successor (END itself is
     kept so hosts can locate it; use :func:`trim_host` to strip).
+
+    ``rng`` seeds the sampling draws; omitting it defaults to PRNGKey(0),
+    making repeated sampling calls bit-identical — pass a fresh key per call
+    for varied draws (the Predictor does).
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -133,8 +146,8 @@ def greedy_sample_decode(
             probs = _next_token_probs(logits, cfg)
             nxt = jax.random.categorical(sub, jnp.log(jnp.maximum(probs, 1e-38)), axis=-1)
         else:
-            if cfg.temperature not in (0.0, 1.0):
-                logits = logits / cfg.temperature
+            # argmax is invariant under the (positive) temperature divide the
+            # reference performs before it (predictor.py:330-335) — skip it.
             nxt = jnp.argmax(logits, axis=-1)
         nxt = nxt.astype(jnp.int32)
         out = jnp.where(finished, jnp.int32(cfg.pad_id), nxt)
@@ -289,9 +302,39 @@ def beam_decode(
         (batch_size, 1),
     )
     finished0 = jnp.zeros((batch_size * K,), dtype=bool)
-    (_, _, final_scores, final_finished), (tok_seq, beam_seq) = jax.lax.scan(
-        scan_step, (start, carry0, scores0, finished0), None, length=cfg.max_length
-    )
+    T = cfg.max_length
+    if cfg.early_exit:
+        # All-finished bailout, mirroring the greedy while_loop (and the
+        # Pallas beam kernels): pre-fill the skipped tail with PAD tokens +
+        # identity parents — exactly what the full-length scan emits once
+        # every beam is finished (frozen scores stay sorted, so the top-k
+        # returns the identity; ties also resolve to identity because the
+        # flat index beam*V + pad ascends with the beam index).
+        tok0 = jnp.full((T, batch_size, K), cfg.pad_id, jnp.int32)
+        beam0 = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[None, None, :], (T, batch_size, K)
+        )
+
+        def loop_cond(s):
+            t, state, _, _ = s
+            return jnp.logical_and(t < T, jnp.logical_not(jnp.all(state[3])))
+
+        def loop_body(s):
+            t, state, tok_buf, beam_buf = s
+            state, (token_idx, beam_idx) = scan_step(state, None)
+            tok_buf = jax.lax.dynamic_update_slice(tok_buf, token_idx[None], (t, 0, 0))
+            beam_buf = jax.lax.dynamic_update_slice(
+                beam_buf, beam_idx.astype(jnp.int32)[None], (t, 0, 0)
+            )
+            return t + 1, state, tok_buf, beam_buf
+
+        _, (_, _, final_scores, _), tok_seq, beam_seq = jax.lax.while_loop(
+            loop_cond, loop_body, (jnp.int32(0), (start, carry0, scores0, finished0), tok0, beam0)
+        )
+    else:
+        (_, _, final_scores, _), (tok_seq, beam_seq) = jax.lax.scan(
+            scan_step, (start, carry0, scores0, finished0), None, length=T
+        )
     return backtrack_and_select(tok_seq, beam_seq, final_scores, batch_size, K, cfg)
 
 
@@ -305,7 +348,11 @@ def backtrack_and_select(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Backtrack the beam ancestry to the per-beam token sequences, apply the
     length penalty, and return the best beam per sample ((B, T), (B,)).
-    Shared by the lax.scan beam and the fused Pallas beam kernel."""
+    Shared by the lax.scan beam and the fused Pallas beam kernel.
+
+    The returned score is the SELECTION score — length-normalized when
+    ``cfg.length_penalty > 0`` — so (tokens, scores) are always consistent
+    with the ranking that picked them."""
     T = tok_seq.shape[0]
 
     def backtrack(carry_beam, t):
@@ -329,7 +376,7 @@ def backtrack_and_select(
         norm_scores = final_scores
     best = jnp.argmax(norm_scores, axis=-1)  # (B,)
     best_tokens = jnp.take_along_axis(sequences, best[:, None, None], axis=1)[:, 0, :]
-    best_scores = jnp.take_along_axis(final_scores, best[:, None], axis=1)[:, 0]
+    best_scores = jnp.take_along_axis(norm_scores, best[:, None], axis=1)[:, 0]
     return best_tokens, best_scores
 
 

@@ -455,9 +455,9 @@ def _sample_next_token(
     * top-p: keep the smallest descending-prob prefix whose strictly-
       preceding cumulative mass is <= p (always keeping the best), with
       prob ties resolved lowest-index-first — the stable-argsort order of
-      ``decode.filter_top_p``.  Computed over the *unrenormalized* softmax
-      probs of the top-k survivors (the reference filters probs, not
-      logits, so the nucleus mass is measured at the original scale).
+      ``decode.filter_top_p``.  The mass is measured over the RENORMALIZED
+      top-k survivors, matching the reference's renormalize-between-filters
+      chain (``predictor.py:307-309``; same in ``decode._next_token_probs``).
       No sort: a ``while_loop`` iteratively extracts the max-prob token
       while any row's kept mass is still <= p — trips = the largest
       nucleus size in the tile (small for trained, peaky models; bounded
@@ -481,6 +481,10 @@ def _sample_next_token(
         probs = e / jnp.sum(e, axis=-1, keepdims=True)  # (B, Vp) f32
         if top_k > 0:
             probs = jnp.where(logits >= kth, probs, jnp.float32(0.0))
+            # Renormalize BETWEEN the filters (reference chain) so the
+            # nucleus cutoff sees the top-k survivors' relative masses.
+            total = jnp.sum(probs, axis=-1, keepdims=True)
+            probs = probs / jnp.maximum(total, jnp.float32(1e-38))
         B = logits.shape[0]
         keep0 = jnp.zeros(probs.shape, jnp.float32)
         cum0 = jnp.zeros((B, 1), jnp.float32)

@@ -21,7 +21,11 @@ from flax import struct
 
 from img2latex_tpu.config import Config
 from img2latex_tpu.models.seq2seq import Seq2SeqModel
-from img2latex_tpu.ops.losses import masked_accuracy, smoothed_cross_entropy
+from img2latex_tpu.ops.losses import (
+    masked_accuracy,
+    masked_token_counts,
+    smoothed_cross_entropy,
+)
 from img2latex_tpu.ops.preprocess import normalize_images
 
 
@@ -134,9 +138,11 @@ def make_eval_step(model: Seq2SeqModel, cfg: Config, pad_id: int) -> Callable:
             variables["batch_stats"] = state.batch_stats
         logits = model.apply(variables, images, formulas)
         loss = smoothed_cross_entropy(logits, targets, pad_id, smoothing)
-        correct, total = masked_accuracy(logits, targets, pad_id)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        # One vocab-axis argmax serves both the accuracy counts and the
+        # prediction ids (softmax preserves the argmax).
         pred_ids = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        correct, total = masked_token_counts(pred_ids, targets, pad_id)
         probs_max = jnp.max(probs, axis=-1)
         # Weight the loss by this batch's token count so short (padded) final
         # batches average correctly on host.

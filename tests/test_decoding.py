@@ -156,6 +156,35 @@ class TestFilters:
             tp[orig_remove] = 0.0
             np.testing.assert_allclose(ours, tp.numpy(), atol=1e-7)
 
+    def test_composed_filters_match_reference_chain(self):
+        """top-k THEN top-p composes with a renormalization in between
+        (reference predictor.py:294-335: probs /= probs.sum() right after
+        the top-k zeroing, so the nucleus mass is measured over the
+        renormalized top-k survivors)."""
+        torch = pytest.importorskip("torch")
+        from img2latex_tpu.decoding.decode import DecodeConfig, _next_token_probs
+
+        rng = np.random.default_rng(2)
+        logits = rng.normal(size=(6, V)).astype(np.float32) * 3.0
+        for k, p in ((3, 0.5), (5, 0.9), (8, 0.3)):
+            ours = np.asarray(
+                _next_token_probs(jnp.array(logits), DecodeConfig(top_k=k, top_p=p))
+            )
+            tl = torch.tensor(logits.copy())
+            tp = torch.softmax(tl, dim=-1)
+            kth = torch.topk(tp, k, dim=-1)[0][:, -1, None]
+            tp[tp < kth] = 0.0
+            tp = tp / tp.sum(dim=-1, keepdim=True)  # reference renorm
+            sorted_probs, sorted_idx = torch.sort(tp, descending=True)
+            cum = torch.cumsum(sorted_probs, dim=-1)
+            remove = cum > p
+            remove[:, 1:] = remove[:, :-1].clone()
+            remove[:, 0] = False
+            orig_remove = remove.scatter(-1, sorted_idx, remove)
+            tp[orig_remove] = 0.0
+            tp = tp / tp.sum(dim=-1, keepdim=True)
+            np.testing.assert_allclose(ours, tp.numpy(), atol=1e-6)
+
     def test_top_k_1_sampling_equals_greedy(self):
         emb, W = make_dynamics(2)
         B, T = 2, 8
@@ -277,6 +306,48 @@ class TestBeam:
         ref_seq, ref_score = np_reference_beam(emb, W, K, T)
         assert got == ref_seq
         assert float(scores[0]) == pytest.approx(ref_score, abs=1e-4)
+
+    def test_beam_early_exit_matches_scan(self):
+        """early_exit=True (all-finished while_loop bailout) is
+        output-identical to the full-length beam scan — incl. when sequences
+        finish early (END-biased dynamics) and when they never finish."""
+        for seed, end_bias in ((0, 1.5), (1, 0.0)):
+            emb, W = make_dynamics(seed)
+            W = W.copy()
+            W[:, END] += end_bias
+            B, K, T = 3, 3, 10
+            step = jax_step_fn(emb, W)
+            carry0 = jnp.zeros((B * K, H))
+            base = dict(max_length=T, start_id=START, end_id=END, pad_id=PAD, beam_size=K)
+            ref_t, ref_s = beam_decode(step, carry0, B, K, DecodeConfig(**base))
+            got_t, got_s = beam_decode(
+                step, carry0, B, K, DecodeConfig(early_exit=True, **base)
+            )
+            np.testing.assert_array_equal(np.asarray(ref_t), np.asarray(got_t))
+            np.testing.assert_allclose(np.asarray(ref_s), np.asarray(got_s), atol=1e-6)
+
+    def test_length_penalty_scores_are_selection_scores(self):
+        """With length_penalty > 0 the returned score is the normalized
+        (selection) score, consistent with the beam it picked."""
+        emb, W = make_dynamics(2)
+        W = W.copy()
+        W[:, END] += 1.0
+        B, K, T = 2, 3, 10
+        step = jax_step_fn(emb, W)
+        carry0 = jnp.zeros((B * K, H))
+        base = dict(max_length=T, start_id=START, end_id=END, pad_id=PAD, beam_size=K)
+        tokens, scores = beam_decode(
+            step, carry0, B, K, DecodeConfig(length_penalty=1.0, **base)
+        )
+        lengths = (np.asarray(tokens) != PAD).sum(axis=-1)
+        raw_t, raw_s = beam_decode(step, carry0, B, K, DecodeConfig(**base))
+        # when lp selects the same beam as raw, score == raw / len^1
+        same = (np.asarray(raw_t) == np.asarray(tokens)).all(axis=-1)
+        for b in range(B):
+            if same[b]:
+                assert float(scores[b]) == pytest.approx(
+                    float(raw_s[b]) / max(lengths[b], 1.0), abs=1e-5
+                )
 
     def test_batched_beam_independent_of_batching(self):
         """Each batch element's beam result must match running it alone."""

@@ -277,10 +277,12 @@ class TestTopPSampleKernel:
     def _replay_support(self, setup, s, top_k, top_p, T):
         """Oracle: replay the flax decode_step along the kernel's own token
         path; every sampled token must be in the nonzero support of the scan
-        path's filter chain (softmax -> filter_top_k -> filter_top_p)."""
-        from img2latex_tpu.decoding.decode import filter_top_k, filter_top_p
+        path's filter chain (``decode._next_token_probs`` — softmax ->
+        top-k -> renormalize -> top-p, the reference composition)."""
+        from img2latex_tpu.decoding.decode import _next_token_probs
 
         cfg, model, params, memory, packed, V = setup
+        fcfg = DecodeConfig(top_k=top_k, top_p=top_p)
         B = memory.shape[0]
         carry = init_decoder_carry(2, B, 128)
         toks = jnp.full((B,), 1, jnp.int32)
@@ -289,10 +291,7 @@ class TestTopPSampleKernel:
             logits, carry = model.apply(
                 params, memory, toks, carry, method=Seq2SeqModel.decode_step
             )
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-            if top_k > 0:
-                probs = filter_top_k(probs, top_k)
-            kept = np.asarray(filter_top_p(probs, top_p)) > 0
+            kept = np.asarray(_next_token_probs(logits, fcfg)) > 0
             for b in range(B):
                 if finished[b]:
                     assert s[b, t] == 0
