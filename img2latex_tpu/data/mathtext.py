@@ -96,7 +96,13 @@ def random_latex_formulas(
         if tall:
             target = int(np.clip(rng.lognormal(np.log(40.0), 0.55), 8, max_tokens))
             while len(toks) < target:
-                toks += [str(rng.choice(BINOPS))] + _expr(rng, 0, tall=True)
+                chunk = [str(rng.choice(BINOPS))] + _expr(rng, 0, tall=True)
+                if len(toks) + len(chunk) > max_tokens:
+                    # Stop just under the cap instead of rejecting the whole
+                    # formula below — whole-chunk overshoot rejection would
+                    # systematically suppress the profile's long tail.
+                    break
+                toks += chunk
         elif rng.random() < 0.5:
             toks += [str(rng.choice(BINOPS))] + _expr(rng, 0)
         if len(toks) <= max_tokens:
@@ -162,7 +168,6 @@ def write_mathtext_corpus(
     os.makedirs(os.path.join(root, "img"), exist_ok=True)
     total = n_train + n_val + n_test
     formulas: List[str] = []
-    images: List[np.ndarray] = []
     rng_seed = seed
     failed = 0
     pool = None
@@ -197,8 +202,12 @@ def write_mathtext_corpus(
                 ):
                     failed += 1
                     continue
+                # Write each accepted image immediately — buffering the
+                # whole corpus in RAM peaked at hundreds of MB on big runs.
+                Image.fromarray(arr, mode="L").save(
+                    os.path.join(root, "img", f"mt_{len(formulas):06d}.png")
+                )
                 formulas.append(f)
-                images.append(arr)
     finally:
         if pool is not None:
             pool.close()
@@ -211,7 +220,6 @@ def write_mathtext_corpus(
         lines = []
         for _ in range(count):
             name = f"mt_{idx:06d}"
-            Image.fromarray(images[idx], mode="L").save(os.path.join(root, "img", f"{name}.png"))
             lines.append(f"{name}.png {idx}")
             idx += 1
         with open(os.path.join(root, f"im2latex_{split}_filter.lst"), "w") as fh:

@@ -123,6 +123,8 @@ def synthetic_batch(
     """
     from img2latex_tpu.data.transforms import array_to_canvas_u8
 
+    if vocab_size <= 4:
+        raise ValueError(f"synthetic_batch needs vocab_size > 4 (body ids are >= 4), got {vocab_size}")
     rng = np.random.default_rng(seed)
     h, w, c = img_shape
     images = np.zeros((batch_size, h, w, c), dtype=np.uint8)
@@ -130,7 +132,10 @@ def synthetic_batch(
     for i in range(batch_size):
         body_len = int(rng.integers(3, max(4, max_seq_length // 2)))
         body = rng.integers(4, vocab_size, size=body_len)
-        raw = render_formula_image(body % 64)
+        # token_glyph is unique per id — render the true ids (a modulo here
+        # would alias distinct labels onto identical glyphs, capping any
+        # learnability check below 100%).
+        raw = render_formula_image(body)
         canvas = array_to_canvas_u8(raw[:, :, None], h, w)
         images[i] = canvas if c == 1 else np.repeat(canvas, c, axis=2)
         seq = [1] + body.tolist() + [2]

@@ -95,10 +95,13 @@ class LaTeXTokenizer:
             if skip_special_tokens
             else set()
         )
+        # Out-of-vocab ids map to UNK; when specials are skipped they must be
+        # skipped too (a real UNK id would be), not emitted as literal <UNK>.
         return " ".join(
             self.id_to_token.get(int(i), self.special_tokens["UNK"])
             for i in ids
             if int(i) not in special_ids
+            and not (skip_special_tokens and int(i) not in self.id_to_token)
         )
 
     def encode_batch(
@@ -111,13 +114,19 @@ class LaTeXTokenizer:
     ) -> np.ndarray:
         """Encode to a dense ``(B, L)`` int32 array, padded/truncated to a
         *static* length (default ``max_sequence_length``) so batches never
-        trigger XLA recompilation."""
-        L = int(length or self.max_sequence_length)
+        trigger XLA recompilation.
+
+        ``truncation=False`` widens L to the longest sequence when needed;
+        ``padding=False`` returns a list of ragged int32 arrays (a dense
+        array is impossible without padding)."""
+        L = self.max_sequence_length if length is None else int(length)
         encoded = [self.encode(t, add_special_tokens) for t in texts]
         if truncation:
             encoded = [ids[:L] for ids in encoded]
+        elif encoded:
+            L = max(L, max(len(ids) for ids in encoded))
         if not padding:
-            return np.array(encoded, dtype=np.int32)
+            return [np.asarray(ids, dtype=np.int32) for ids in encoded]
         out = np.full((len(encoded), L), self.pad_token_id, dtype=np.int32)
         for i, ids in enumerate(encoded):
             out[i, : len(ids)] = ids

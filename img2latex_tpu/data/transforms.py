@@ -41,7 +41,9 @@ def resize_with_aspect_ratio(
     width, height = img.size
     if height == 0:
         return Image.new(img.mode, (target_width, target_height), _pad_fill(img, pad_value))
-    new_width = int(round(target_height * (width / height)))
+    # max(1, ...): an extremely tall/narrow image can round to width 0, which
+    # PIL's resize rejects — clamp to a 1px column instead of crashing.
+    new_width = max(1, int(round(target_height * (width / height))))
     img_resized = img.resize((new_width, target_height), _LANCZOS)
     if new_width == target_width:
         return img_resized

@@ -50,7 +50,9 @@ def device_info() -> Dict[str, Any]:
 def set_seed(seed: int, deterministic: bool = False) -> None:
     """Cross-library host seeding (reference ``mps_utils.py:200-251``).  JAX
     device randomness is functional (PRNGKey), so nothing global to set; the
-    ``deterministic`` knob enables jax's deterministic-reduction mode."""
+    ``deterministic`` knob pins matmuls to highest precision — the numerics
+    knob that matters on TPU, where XLA reductions are already run-to-run
+    deterministic.  It is NOT a cross-backend (GPU) determinism guarantee."""
     import random
 
     import numpy as np

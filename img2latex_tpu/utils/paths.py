@@ -55,7 +55,7 @@ class PathManager:
         """Auto-version ``name -> name_vN`` by scanning existing experiment
         dirs (reference ``registry.py:62-84`` semantics)."""
         if not self.outputs_dir.exists():
-            return base_name if not self._is_versioned(base_name) else base_name
+            return base_name
         existing = {p.name for p in self.outputs_dir.iterdir() if p.is_dir()}
         if base_name not in existing:
             return base_name
@@ -63,11 +63,6 @@ class PathManager:
         while f"{base_name}_v{version}" in existing:
             version += 1
         return f"{base_name}_v{version}"
-
-    @staticmethod
-    def _is_versioned(name: str) -> bool:
-        tail = name.rsplit("_v", 1)
-        return len(tail) == 2 and tail[1].isdigit()
 
     # ------------------------------------------------------------------
     def create_experiment_structure(self, experiment_name: str) -> Dict[str, Path]:

@@ -30,6 +30,13 @@ class TestTransforms:
         assert arr[:, 200:].min() == 255
         assert arr[:, :100].max() < 255
 
+    def test_resize_extreme_tall_narrow_no_crash(self):
+        """A 1xN sliver must clamp to a 1px column, not crash PIL's resize
+        with width 0."""
+        img = Image.fromarray(np.zeros((200, 1), np.uint8), mode="L")
+        out = resize_with_aspect_ratio(img, 64, 800)
+        assert out.size == (800, 64)
+
     def test_resize_center_crop_when_wide(self):
         img = Image.new("L", (4000, 50), 0)
         out = resize_with_aspect_ratio(img, 64, 800)

@@ -65,6 +65,30 @@ def test_encode_batch_static_shape_and_padding():
     assert long.shape == (1, 6)
 
 
+def test_encode_batch_flag_combinations():
+    """The advertised non-default flags must work, not crash: no truncation
+    widens to the longest row; no padding returns ragged arrays."""
+    tok = LaTeXTokenizer(max_sequence_length=4)
+    tok.fit(["a b c", "a"])
+    wide = tok.encode_batch(["a b c a b c a b c"], truncation=False)
+    assert wide.shape == (1, 9)
+    ragged = tok.encode_batch(["a b", "a"], padding=False)
+    assert isinstance(ragged, list)
+    assert [len(r) for r in ragged] == [2, 1]
+    zero = tok.encode_batch(["a"], length=0)
+    assert zero.shape == (1, 0)
+
+
+def test_decode_skips_out_of_vocab_like_unk():
+    """OOV ids map to UNK; with skip_special_tokens they must be skipped
+    exactly like a real UNK id (not emitted as a literal <UNK>)."""
+    tok = LaTeXTokenizer(max_sequence_length=6)
+    tok.fit(["x"])
+    x = tok.token_to_id["x"]
+    assert tok.decode([x, tok.unk_token_id, 9999]) == "x"
+    assert tok.decode([x, 9999], skip_special_tokens=False) == "x <UNK>"
+
+
 def test_save_load_roundtrip(tmp_path):
     tok = LaTeXTokenizer(max_sequence_length=12)
     tok.fit(["\\alpha + \\beta = x", "x + x"])
