@@ -43,6 +43,7 @@ near-tie argmax caveat as the vector kernels (quality A/B per checkpoint:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, List, Tuple
 
 import jax
@@ -446,17 +447,37 @@ def grid_beam_vmem_bytes_estimate(
     return int(total)
 
 
+def _beam_scoped_budget_bytes() -> int:
+    """The grid beam kernel is additionally bounded by XLA's scoped-VMEM
+    stack limit (16 MiB default): its whole operand set (weights + memory +
+    U at K*Bt rows) is charged to the scoped stack, and Mosaic hard-fails
+    the compile when it doesn't fit — measured on-chip 2026-08-18 at
+    flagship shapes (E=256/H=384/S=100/K=5): estimate 20.4M (tile 32)
+    compiles, 24.0M (tile 40) and 29.0M (tile 51) are compile OOMs.
+    Raising ``vmem_limit_bytes`` via Mosaic compiler params does not help —
+    this XLA charges the kernel the full granted budget, so the demand
+    chases the limit.  Default the beam tile budget to 21 MiB (just above
+    the largest measured-good estimate); override with
+    IMG2LATEX_BEAM_VMEM_BUDGET_MB if a future toolchain lifts the limit."""
+    import os
+
+    return int(os.environ.get("IMG2LATEX_BEAM_VMEM_BUDGET_MB", "21")) * 1024 * 1024
+
+
 def _auto_tile_beam(
     packed, att, S: int, K: int, budget_bytes: int = 0, batch: int = 0
 ) -> int:
-    budget_bytes = budget_bytes or _vmem_budget_bytes()
-    tile = max(8, 256 // K)
+    budget_bytes = min(budget_bytes or _vmem_budget_bytes(), _beam_scoped_budget_bytes())
+    cap = max(8, 256 // K)
     if batch > 0:
         # Cap at the (8-rounded) actual batch: see _auto_tile.
-        tile = min(tile, max(8, _round_up(batch, 8)))
-    while tile > 8 and grid_beam_vmem_bytes_estimate(packed, att, tile, S, K) > budget_bytes:
-        tile //= 2
-    return max(8, tile)
+        cap = min(cap, max(8, _round_up(batch, 8)))
+    for tile in sorted({cap, 64, 48, 40, 32, 24, 16, 12, 8}, reverse=True):
+        if tile > cap:
+            continue
+        if grid_beam_vmem_bytes_estimate(packed, att, tile, S, K) <= budget_bytes:
+            return tile
+    return 8
 
 
 def pallas_full_grid_beam_decode(
@@ -524,13 +545,29 @@ def pallas_full_grid_beam_decode(
         tok_kb, beam_kb, scores_kb = one_tile((mem, u))
         tok_kb, beam_kb, scores_kb = tok_kb[None], beam_kb[None], scores_kb[None]
     else:
-        tok_kb, beam_kb, scores_kb = jax.lax.map(
-            one_tile,
-            (
-                mem.reshape(nc, batch_tile, S, E),
-                u.reshape((nc, batch_tile) + u.shape[1:]),
-            ),
-        )
+        # Grouped lax.map: one flat map over all nc tiles puts its
+        # (nc, T, K*Bt) x2 token accumulators in XLA *scoped VMEM* — at
+        # B=3072/K=5 that is 17.6M > the 16M scoped limit, a hard Mosaic
+        # compile OOM (2026-08-18 on-chip; vmap-of-pallas_call is worse
+        # still, 33.4M, because the whole vmapped output is stack-
+        # allocated).  Mapping GROUP tiles at a time keeps each
+        # accumulator ~2.3M and concatenates the groups in HBM; the tile
+        # program is identical across groups so compile cost is one
+        # kernel + a short unrolled chain.
+        mem_r = mem.reshape(nc, batch_tile, S, E)
+        u_r = u.reshape((nc, batch_tile) + u.shape[1:])
+        group = max(1, int(os.environ.get("IMG2LATEX_BEAM_MAP_GROUP", "8")))
+        parts = [
+            jax.lax.map(one_tile, (mem_r[s : s + group], u_r[s : s + group]))
+            if min(group, nc - s) > 1
+            else jax.tree_util.tree_map(
+                lambda x: x[None], one_tile((mem_r[s], u_r[s]))
+            )
+            for s in range(0, nc, group)
+        ]
+        tok_kb = jnp.concatenate([p[0] for p in parts])
+        beam_kb = jnp.concatenate([p[1] for p in parts])
+        scores_kb = jnp.concatenate([p[2] for p in parts])
 
     return _select_from_beam_tiles(
         tok_kb, beam_kb, scores_kb, nc, T, K, batch_tile, Bp, B, cfg

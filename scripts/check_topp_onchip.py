@@ -1,0 +1,162 @@
+"""On-chip Mosaic compile/parity check for the top-p sampling kernels.
+
+The in-kernel nucleus filter (`_sample_next_token` in ops/pallas/decode_step.py,
+shared with grid_decode.py) was validated in interpret mode on CPU; interpret
+mode is PERMISSIVE (it accepted casts Mosaic rejects — see STATUS.md), so every
+new kernel program needs one real-chip compile before it counts as done.
+
+This script compiles and runs, on the real TPU, with identical inputs:
+  1. vector kernel, top_p only            (while_loop nucleus, (B,Vp) carries)
+  2. vector kernel, top_k + top_p         (reference filter chain order)
+  3. grid kernel,   top_p only            (in-kernel attention + nucleus)
+  4. vector + grid greedy                 (refactored shared `_decode_loop`)
+  5. vector beam                          (refactored shared `_beam_loop`)
+and cross-checks each Mosaic run against the same kernel in interpret=True
+(same backend, same inputs, same seed -> tokens should agree; small
+disagreement can only come from f32-accumulation differences on ties and is
+reported, not hidden).
+
+Usage: python scripts/check_topp_onchip.py [batch]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+VOCAB = 503
+EMBED, HIDDEN, LAYERS = 256, 384, 2
+SLOTS = 100
+MAX_LEN = 64
+
+
+def agreement(a, b) -> float:
+    a, b = np.asarray(a), np.asarray(b)
+    return float((a == b).mean())
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import jax
+
+    cache_dir = os.path.join(repo, ".cache", "jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from img2latex_tpu.config import Config
+    from img2latex_tpu.decoding.decode import DecodeConfig
+    from img2latex_tpu.models.seq2seq import build_model
+    from img2latex_tpu.ops.pallas.beam_decode import pallas_full_beam_decode
+    from img2latex_tpu.ops.pallas.decode_step import (
+        pack_decoder_weights,
+        pallas_full_greedy_decode,
+        pallas_full_sample_decode,
+    )
+    from img2latex_tpu.ops.pallas.grid_decode import (
+        pack_attention_weights,
+        pallas_full_grid_greedy_decode,
+        pallas_full_grid_sample_decode,
+    )
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    dtype = jnp.bfloat16
+
+    cfg = Config()
+    cfg.model.name = "cnn_lstm"
+    cfg.model.memory = "grid"
+    cfg.model.embedding_dim = EMBED
+    cfg.model.decoder.hidden_dim = HIDDEN
+    cfg.model.decoder.lstm_layers = LAYERS
+    cfg.model.decoder.dropout = 0.0
+    cfg.data.max_seq_length = MAX_LEN
+    cfg.hardware.compute_dtype = "bfloat16"
+    model = build_model(cfg, VOCAB)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 64, 800, 1), jnp.float32),
+        jnp.zeros((2, 8), jnp.int32),
+    )
+    packed = pack_decoder_weights(params, VOCAB, dtype)
+    att = pack_attention_weights(params, dtype)
+
+    rng = np.random.default_rng(0)
+    memory = jnp.asarray(rng.normal(size=(B, SLOTS, EMBED)).astype(np.float32), dtype)
+    ctx = memory[:, 0, :]
+    bcfg = DecodeConfig(
+        max_length=MAX_LEN, start_id=1, end_id=2, pad_id=0, beam_size=5, length_penalty=1.5
+    )
+
+    cases = [
+        (
+            "vector_top_p",
+            lambda interp: pallas_full_sample_decode(
+                packed, ctx, MAX_LEN, 1, 2, 0, top_k=0, top_p=0.9, seed=31,
+                temperature=0.8, interpret=interp,
+            ),
+        ),
+        (
+            "vector_top_k_top_p",
+            lambda interp: pallas_full_sample_decode(
+                packed, ctx, MAX_LEN, 1, 2, 0, top_k=10, top_p=0.6, seed=57,
+                interpret=interp,
+            ),
+        ),
+        (
+            "grid_top_p",
+            lambda interp: pallas_full_grid_sample_decode(
+                packed, att, memory, MAX_LEN, 1, 2, 0, top_k=0, seed=7,
+                top_p=0.9, interpret=interp,
+            ),
+        ),
+        (
+            "vector_greedy_shared_loop",
+            lambda interp: pallas_full_greedy_decode(
+                packed, ctx, MAX_LEN, 1, 2, 0, interpret=interp
+            ),
+        ),
+        (
+            "grid_greedy_shared_loop",
+            lambda interp: pallas_full_grid_greedy_decode(
+                packed, att, memory, MAX_LEN, 1, 2, 0, interpret=interp
+            ),
+        ),
+        (
+            "vector_beam_shared_loop",
+            lambda interp: pallas_full_beam_decode(packed, ctx, 5, bcfg)[0],
+        ),
+    ]
+
+    failures = []
+    for name, fn in cases:
+        try:
+            got = np.asarray(jax.jit(lambda: fn(False))())
+        except Exception as e:  # Mosaic compile failure is the thing we hunt
+            print(f"{name}: MOSAIC FAIL: {type(e).__name__}: {e}", flush=True)
+            failures.append(name)
+            continue
+        assert got.dtype == np.int32 and got.min() >= 0 and got.max() < VOCAB, name
+        if name == "vector_beam_shared_loop":
+            print(f"{name}: ok (compiled+ran, checksum={got.sum()})", flush=True)
+            continue
+        ref = np.asarray(jax.jit(lambda: fn(True))())
+        agr = agreement(got, ref)
+        print(
+            f"{name}: ok agreement_vs_interpret={agr:.4f} "
+            f"checksum={got.sum()} ref={ref.sum()}",
+            flush=True,
+        )
+        if agr < 0.99:
+            failures.append(name)
+    if failures:
+        print("FAILURES:", failures, flush=True)
+        sys.exit(1)
+    print("ALL OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

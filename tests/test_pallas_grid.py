@@ -172,6 +172,22 @@ class TestGridBeamKernel:
         np.testing.assert_array_equal(np.asarray(ref_t), np.asarray(got_t))
         np.testing.assert_allclose(np.asarray(ref_s), np.asarray(got_s), rtol=1e-5)
 
+    def test_grouped_tile_map_matches_untiled(self, setup, monkeypatch):
+        """Multi-group tile map (the scoped-VMEM workaround): B=8/tile=3 gives
+        nc=3 tiles; group=2 exercises a 2-tile lax.map group, the trailing
+        singleton group, and the HBM concat between them."""
+        cfg, model, params, memory, packed, att, V = setup
+        dcfg = DecodeConfig(max_length=16, start_id=1, end_id=2, pad_id=0, beam_size=3)
+        ref_t, ref_s = pallas_full_grid_beam_decode(
+            packed, att, memory, 3, dcfg, interpret=True
+        )
+        monkeypatch.setenv("IMG2LATEX_BEAM_MAP_GROUP", "2")
+        got_t, got_s = pallas_full_grid_beam_decode(
+            packed, att, memory, 3, dcfg, interpret=True, batch_tile=3
+        )
+        np.testing.assert_array_equal(np.asarray(ref_t), np.asarray(got_t))
+        np.testing.assert_allclose(np.asarray(ref_s), np.asarray(got_s), rtol=1e-5)
+
     def test_early_exit_matches_full_loop(self, setup):
         cfg, model, params, memory, packed, att, V = setup
         dcfg = DecodeConfig(max_length=16, start_id=1, end_id=2, pad_id=0, beam_size=3)
