@@ -271,6 +271,14 @@ class HardwareConfig:
     # the training step.  Quality deltas per checkpoint recorded by
     # scripts/ab_pallas_decode.py --int8.
     int8_encoder: bool = False
+    # PRNG bit-generator for training randomness (dropout masks).  The JAX
+    # default "threefry" is counter-based and splittable but costs real VPU
+    # time generating the (B, T, H)-sized dropout masks each step; "rbg"
+    # uses the TPU's hardware RNG.  Measured on a v5e chip at reference
+    # scale (batch 128, dropout 0.3): 22.8 -> 21.9 ms/step (+4% train
+    # throughput).  Keys from different impls coexist safely; "threefry"
+    # stays the default for cross-backend reproducibility.
+    rng_impl: str = "threefry"
     # Debug/test: run the Pallas decode kernels in interpret mode and skip
     # the TPU-backend gate, so the Predictor's kernel wiring (incl. the
     # sharded shard_map paths) is exercisable on CPU.  Never set in

@@ -79,6 +79,11 @@ class Trainer:
         experiment_name: Optional[str] = None,
     ):
         self.cfg = cfg
+        from img2latex_tpu.utils.profiling import apply_rng_impl
+
+        # Before any PRNGKey exists: dropout keys derive from the ones made
+        # below, so the impl switch must come first.
+        apply_rng_impl(cfg.hardware.rng_impl)
         self.tokenizer = tokenizer
         self.loaders = loaders
         self.model = model or build_model(cfg, tokenizer.vocab_size)

@@ -42,6 +42,24 @@ def apply_numerics_flags(debug_nans: bool) -> None:
         logger.info("jax_debug_nans enabled")
 
 
+def apply_rng_impl(rng_impl: str) -> None:
+    """Set the default PRNG bit-generator (``hardware.rng_impl``).
+
+    Must run before the keys it should affect are created (the Trainer calls
+    it first thing in ``__init__``); keys created earlier keep their impl —
+    JAX typed keys carry it — so mixing is safe."""
+    if rng_impl in ("threefry", "threefry2x32", ""):
+        return
+    if rng_impl not in ("rbg", "unsafe_rbg"):
+        raise ValueError(
+            f"hardware.rng_impl must be 'threefry', 'rbg', or 'unsafe_rbg'; got {rng_impl!r}"
+        )
+    import jax
+
+    jax.config.update("jax_default_prng_impl", rng_impl)
+    logger.info("jax_default_prng_impl = %s", rng_impl)
+
+
 class StepTimer:
     """Lightweight per-step wall-clock aggregator (host side)."""
 

@@ -396,3 +396,34 @@ class TestDeviceCache:
         cache = tr._get_device_cache()
         assert cache and cache["images"].shape[-1] == 3  # full-channel fallback
         assert tr._cache_tile_train is False
+
+
+class TestRngImpl:
+    def test_rejects_unknown_impl(self):
+        from img2latex_tpu.utils.profiling import apply_rng_impl
+
+        with pytest.raises(ValueError):
+            apply_rng_impl("philox")
+
+    def test_rbg_trains_a_step(self, corpus, tmp_path):
+        """hardware.rng_impl=rbg: dropout keys come from the TPU-hardware
+        generator family (works on CPU too); one real step must run and the
+        previously-created threefry keys must keep working."""
+        import jax
+
+        cfg = tiny_config(corpus)
+        cfg.model.decoder.dropout = 0.3  # exercise dropout mask generation
+        cfg.training.epochs = 1
+        cfg.hardware.rng_impl = "rbg"
+        tok = LaTeXTokenizer(max_sequence_length=cfg.data.max_seq_length)
+        tok.fit(read_formulas(os.path.join(corpus, "im2latex_formulas.norm.lst")))
+        loaders = create_data_loaders(cfg, tok)
+        paths = PathManager(str(tmp_path / "rbg"))
+        paths.outputs_dir.mkdir(parents=True, exist_ok=True)
+        try:
+            trainer = Trainer(cfg, tok, loaders, paths=paths, experiment_name="rbg_exp")
+            assert jax.config.jax_default_prng_impl == "rbg"
+            result = trainer.train()
+            assert np.isfinite(result["best_val_loss"])
+        finally:
+            jax.config.update("jax_default_prng_impl", "threefry2x32")
