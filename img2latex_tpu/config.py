@@ -271,6 +271,13 @@ class HardwareConfig:
     # the training step.  Quality deltas per checkpoint recorded by
     # scripts/ab_pallas_decode.py --int8.
     int8_encoder: bool = False
+    # Whole-sequence Pallas LSTM for teacher-forced training forwards
+    # (ops/pallas/lstm_train.py: VMEM-resident recurrent weights, custom-VJP
+    # backward, f32 gate math + f32 dW_hh accumulation).  None = auto (on
+    # when the backend is TPU); the XLA lax.scan path pays ~20 us/step of
+    # loop overhead that the kernel eliminates.  Decode paths are separate
+    # (use_pallas_decode).
+    pallas_lstm: Optional[bool] = None
     # PRNG bit-generator for training randomness (dropout masks).  The JAX
     # default "threefry" is counter-based and splittable but costs real VPU
     # time generating the (B, T, H)-sized dropout masks each step; "rbg"

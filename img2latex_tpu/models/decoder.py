@@ -123,6 +123,8 @@ class DecoderCell(nn.Module):
     lstm_layers: int = 1
     dropout: float = 0.0
     use_attention: bool = True
+    pallas_lstm: bool = False
+    pallas_lstm_interpret: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -135,6 +137,8 @@ class DecoderCell(nn.Module):
             hidden_dim=self.hidden_dim,
             num_layers=self.lstm_layers,
             dropout=self.dropout,
+            pallas_seq=self.pallas_lstm,
+            pallas_interpret=self.pallas_lstm_interpret,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
@@ -191,6 +195,8 @@ class LSTMDecoder(nn.Module):
     lstm_layers: int = 1
     dropout: float = 0.0
     use_attention: bool = True
+    pallas_lstm: bool = False
+    pallas_lstm_interpret: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -202,6 +208,8 @@ class LSTMDecoder(nn.Module):
             lstm_layers=self.lstm_layers,
             dropout=self.dropout,
             use_attention=self.use_attention,
+            pallas_lstm=self.pallas_lstm,
+            pallas_lstm_interpret=self.pallas_lstm_interpret,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )

@@ -68,6 +68,12 @@ class StackedLSTM(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # Run full-sequence forwards through the whole-sequence Pallas kernel
+    # (ops/pallas/lstm_train.py, custom-VJP backward) instead of lax.scan.
+    # Same math, f32 gate arithmetic, f32 dW_hh accumulation; kills the
+    # ~20 us/step XLA scan overhead (see the kernel's docstring).
+    pallas_seq: bool = False
+    pallas_interpret: bool = False
 
     def setup(self):
         scale = 1.0 / (self.hidden_dim**0.5)
@@ -113,6 +119,26 @@ class StackedLSTM(nn.Module):
         h_out, c_out = [], []
         for layer in range(self.num_layers):
             W_ih, W_hh, b_ih, b_hh = self._layer(layer)
+            if self.pallas_seq:
+                from img2latex_tpu.ops.pallas.lstm_train import lstm_seq_pallas
+
+                # Both biases are step-invariant — fold them into the hoisted
+                # projection so the kernel is matmul + gates only.
+                gates_x = ys @ W_ih + (b_ih + b_hh)  # (B, T, 4H)
+                gates_x_t = jnp.swapaxes(gates_x, 0, 1)
+                ys_t, hT, cT = lstm_seq_pallas(
+                    gates_x_t,
+                    h0[layer],
+                    c0[layer],
+                    W_hh,
+                    interpret=self.pallas_interpret,
+                )
+                ys = jnp.swapaxes(ys_t, 0, 1)
+                h_out.append(hT)
+                c_out.append(cT)
+                if layer < self.num_layers - 1 and self.num_layers > 1:
+                    ys = self.drop(ys, deterministic=deterministic)
+                continue
             # Hoisted input projection: one big matmul over all timesteps.
             gates_x = ys @ W_ih + b_ih  # (B, T, 4H)
             gates_x_t = jnp.swapaxes(gates_x, 0, 1)  # (T, B, 4H) time-major scan

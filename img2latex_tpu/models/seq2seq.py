@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -37,6 +38,8 @@ class Seq2SeqModel(nn.Module):
     pallas_conv1: Any = False  # first-block Pallas kernel (hardware.pallas_conv1)
     pallas_chain: Any = False  # whole-conv-stack channel-first path (hardware.pallas_chain)
     int8_encoder: bool = False  # int8 conv blocks, inference opt-in (hardware.int8_encoder)
+    pallas_lstm: bool = False  # whole-sequence training LSTM kernel (hardware.pallas_lstm)
+    pallas_lstm_interpret: bool = False  # run that kernel in interpret mode (CPU testing)
     # ResNet encoder
     resnet_name: str = "resnet50"
     dtype: Any = jnp.float32
@@ -74,6 +77,8 @@ class Seq2SeqModel(nn.Module):
             lstm_layers=self.lstm_layers,
             dropout=self.dropout,
             use_attention=self.use_attention,
+            pallas_lstm=self.pallas_lstm,
+            pallas_lstm_interpret=self.pallas_lstm_interpret,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
@@ -141,6 +146,18 @@ def init_decoder_carry(
     return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
+def _resolve_pallas_lstm(cfg: Config) -> bool:
+    """hardware.pallas_lstm: explicit value wins; None = auto (on for
+    SINGLE-device TPU — other backends would only reach debug-speed
+    interpret mode, and on a multi-chip mesh the GSPMD partitioning of the
+    Mosaic custom call is unverified in this environment, so the sharded
+    train path conservatively keeps the XLA scan unless the user opts in)."""
+    flag = getattr(cfg.hardware, "pallas_lstm", None)
+    if flag is not None:
+        return bool(flag)
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
 def build_model(cfg: Config, vocab_size: int) -> Seq2SeqModel:
     """Construct the flagship model from a :class:`Config`."""
     if cfg.model.name not in ("cnn_lstm", "resnet_lstm"):
@@ -163,6 +180,9 @@ def build_model(cfg: Config, vocab_size: int) -> Seq2SeqModel:
         pallas_conv1=getattr(cfg.hardware, "pallas_conv1", False),
         pallas_chain=getattr(cfg.hardware, "pallas_chain", False),
         int8_encoder=getattr(cfg.hardware, "int8_encoder", False),
+        pallas_lstm=_resolve_pallas_lstm(cfg),
+        pallas_lstm_interpret=getattr(cfg.hardware, "pallas_interpret", False)
+        or jax.default_backend() != "tpu",
         resnet_name=cfg.model.encoder.resnet.model_name,
         dtype=dtype,
         param_dtype=param_dtype,
