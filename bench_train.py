@@ -37,9 +37,12 @@ def main() -> None:
     from img2latex_tpu.training.optim import build_optimizer
     from img2latex_tpu.training.steps import create_train_state, make_train_step
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    argv = [a for a in sys.argv[1:] if a != "--augment"]
+    augment = "--augment" in sys.argv[1:]
+    B = int(argv[0]) if argv else 128
 
     cfg = Config()
+    cfg.data.augment_device = augment
     cfg.model.embedding_dim = EMBED
     cfg.model.decoder.hidden_dim = HIDDEN
     cfg.model.decoder.lstm_layers = LAYERS

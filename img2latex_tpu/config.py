@@ -52,6 +52,10 @@ class DataConfig:
     # TPU addition: train-time augmentation (the reference ships augmentation
     # that is dead code, dataset.py:303-318,487-494; here it works, default off).
     augment: bool = False
+    # TPU addition: apply the rotation+translation augmentation ON DEVICE,
+    # inside the jitted train step (ops/augment.py) — zero host CPU cost and,
+    # unlike host-side `augment`, fully compatible with device_cache.
+    augment_device: bool = False
     # TPU addition: keep the whole train split device-resident (uint8 images
     # + token ids in HBM) and gather each batch on device by a per-epoch
     # permutation.  Zero host->device traffic in steady state — removes the

@@ -69,12 +69,21 @@ def make_train_step(
     mean = tuple(cfg.preprocessing.normalization_mean)
     std = tuple(cfg.preprocessing.normalization_std)
     has_bn = cfg.model.name == "resnet_lstm"
+    augment_device = bool(getattr(cfg.data, "augment_device", False))
+    pad_fill = float(getattr(cfg.preprocessing, "pad_value", 255))
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
-        images = normalize_images(batch["images"], mean, std)
+        images = batch["images"]
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        if augment_device:
+            from img2latex_tpu.ops.augment import augment_batch
+
+            # Distinct stream from dropout; still step-deterministic.
+            aug_rng = jax.random.fold_in(dropout_rng, 0x617567)
+            images = augment_batch(images, aug_rng, fill=pad_fill)
+        images = normalize_images(images, mean, std)
         formulas = batch["formulas"]
         targets = formulas[:, 1:]
-        dropout_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
             variables = {"params": params}

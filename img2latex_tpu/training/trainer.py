@@ -290,7 +290,9 @@ class Trainer:
             if not getattr(self, "_warned_cache_augment", False):
                 logger.warning(
                     "data.device_cache=true is ignored with data.augment=true "
-                    "(augmentation is host-side PIL); using the host loader"
+                    "(augmentation is host-side PIL); using the host loader. "
+                    "data.augment_device=true composes with the cache — the "
+                    "warp runs inside the jitted step (ops/augment.py)"
                 )
                 self._warned_cache_augment = True
             return False
