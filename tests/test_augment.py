@@ -13,7 +13,13 @@ import pytest
 from img2latex_tpu.config import Config
 from img2latex_tpu.data.synthetic import synthetic_batch
 from img2latex_tpu.models.seq2seq import build_model
-from img2latex_tpu.ops.augment import augment_batch, warp_affine
+from img2latex_tpu.ops.augment import (
+    _shift_x,
+    _shift_y,
+    augment_batch,
+    warp_affine,
+    warp_shear3_batch,
+)
 from img2latex_tpu.training.optim import build_optimizer
 from img2latex_tpu.training.steps import create_train_state, make_train_step
 
@@ -107,6 +113,93 @@ class TestAugmentBatch:
             )
         )
         np.testing.assert_allclose(out, imgs.astype(np.float32), atol=1e-3)
+
+
+def _gather_shift(img_f, d, axis, fill):
+    """take_along_axis reference for the roll+select fractional shifts."""
+    size = img_f.shape[axis]
+    x0 = jnp.floor(d)
+    x0i = x0.astype(jnp.int32)
+    if axis == 2:  # d is (B, H)
+        frac = (d - x0)[:, :, None, None]
+        base = jnp.arange(size, dtype=jnp.int32)[None, None, :]
+        idx0 = base + x0i[:, :, None]
+    else:  # axis == 1, d is (B, W)
+        frac = (d - x0)[:, None, :, None]
+        base = jnp.arange(size, dtype=jnp.int32)[None, :, None]
+        idx0 = base + x0i[:, None, :]
+    ok0 = (idx0 >= 0) & (idx0 < size)
+    ok1 = (idx0 + 1 >= 0) & (idx0 + 1 < size)
+    i0 = jnp.clip(idx0, 0, size - 1)[..., None]
+    i1 = jnp.clip(idx0 + 1, 0, size - 1)[..., None]
+    v0 = jnp.take_along_axis(img_f, jnp.broadcast_to(i0, img_f.shape), axis=axis)
+    v1 = jnp.take_along_axis(img_f, jnp.broadcast_to(i1, img_f.shape), axis=axis)
+    v0 = jnp.where(ok0[..., None], v0, fill)
+    v1 = jnp.where(ok1[..., None], v1, fill)
+    return v0 * (1.0 - frac) + v1 * frac
+
+
+class TestRollShifts:
+    """The production warp is gather-free (rolls + masks, see ops/augment.py
+    module docstring); these pin it exactly against a gather reference in
+    both span regimes (direct select <=12 and coarse/fine 8q+r)."""
+
+    @pytest.mark.parametrize("dmax", [3.5, 17.0])  # direct and coarse/fine
+    def test_shift_x_matches_gather(self, rng, dmax):
+        b, h, w, c = 3, 8, 64, 1
+        img = jnp.asarray(rng.integers(0, 256, (b, h, w, c)).astype(np.float32))
+        d = jnp.asarray(rng.uniform(-dmax, dmax, (b, h)).astype(np.float32))
+        got = np.asarray(_shift_x(img, d, dmax, 255.0))
+        want = np.asarray(_gather_shift(img, d, 2, 255.0))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    @pytest.mark.parametrize("dmax", [2.5, 20.0])
+    def test_shift_y_matches_gather(self, rng, dmax):
+        b, h, w, c = 3, 48, 16, 1
+        img = jnp.asarray(rng.integers(0, 256, (b, h, w, c)).astype(np.float32))
+        d = jnp.asarray(rng.uniform(-dmax, dmax, (b, w)).astype(np.float32))
+        got = np.asarray(_shift_y(img, d, dmax, 255.0))
+        want = np.asarray(_gather_shift(img, d, 1, 255.0))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_shear3_matches_gather_warp_interior(self, rng):
+        """Same affine map as warp_affine; only the interpolation scheme
+        differs (three 1-D lerps vs one 2-D bilinear tap), so on a smooth
+        image the interiors agree to a fraction of a gray level.  Corners
+        differ (the shears clip intermediate out-of-bounds) — excluded."""
+        b, h, w = 4, 64, 96
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        smooth = (127.5 + 60 * np.sin(xx / 9.0) + 50 * np.cos(yy / 7.0)).astype(
+            np.float32
+        )
+        imgs = jnp.asarray(np.broadcast_to(smooth[None, :, :, None], (b, h, w, 1)))
+        theta = jnp.asarray(rng.uniform(-0.087, 0.087, (b,)).astype(np.float32))
+        tx = jnp.asarray(rng.uniform(-1.9, 1.9, (b,)).astype(np.float32))
+        ty = jnp.asarray(rng.uniform(-1.2, 1.2, (b,)).astype(np.float32))
+        got = np.asarray(warp_shear3_batch(imgs, theta, tx, ty, 255.0, 5.0, 0.02))
+        want = np.asarray(
+            jax.vmap(warp_affine, in_axes=(0, 0, 0, 0, None))(
+                imgs, theta, tx, ty, 255.0
+            )
+        )
+        d = np.abs(got - want)[:, 4:-4, 8:-8, :]
+        assert d.max() < 3.0 and d.mean() < 0.05
+
+    def test_methods_agree_on_identity_params(self, rng):
+        imgs = rng.integers(0, 256, (2, 8, 16, 1)).astype(np.uint8)
+        for method in ("shear_roll", "gather"):
+            out = np.asarray(
+                augment_batch(
+                    jnp.asarray(imgs), jax.random.PRNGKey(0),
+                    max_rotate_deg=0.0, max_translate_frac=0.0, method=method,
+                )
+            )
+            np.testing.assert_allclose(out, imgs.astype(np.float32), atol=1e-3)
+
+    def test_unknown_method_raises(self, rng):
+        imgs = jnp.asarray(rng.integers(0, 256, (1, 8, 16, 1)).astype(np.uint8))
+        with pytest.raises(ValueError, match="unknown augment method"):
+            augment_batch(imgs, jax.random.PRNGKey(0), method="bogus")
 
 
 class TestTrainStepWiring:
