@@ -220,6 +220,10 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
     # config, so leaving it in config_overrides would also work, but the
     # positional/flag forms take precedence and must compose predictably).
     set_data_dir = overrides.pop("data.data_dir", None)
+    if getattr(args, "selective_frac", None) is not None:
+        # Rides the config-override surface: evaluate_checkpoint reads
+        # inference.selective_beam_frac from the (overridden) config.
+        overrides["inference.selective_beam_frac"] = args.selective_frac
     result = evaluate_checkpoint(
         args.checkpoint,
         data_dir=args.data_dir or getattr(args, "data_dir_opt", None) or set_data_dir,
@@ -403,6 +407,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "(the reference's early break; output-identical)")
     ev.add_argument("--length-penalty", type=float, default=None,
                     help="Beam length-normalization exponent")
+    ev.add_argument("--selective-frac", type=float, default=None,
+                    help="With --beam-size K: greedy-decode everything, beam "
+                         "only this fraction of least-confident rows "
+                         "(near-beam BLEU at near-greedy throughput)")
     ev.add_argument("--batch-size", type=int, default=None)
     ev.add_argument("--max-batches", type=int, default=None)
     ev.add_argument("--output-dir", default=None)

@@ -174,6 +174,11 @@ class InferenceConfig:
     top_k: int = 0
     top_p: float = 0.0
     length_penalty: float = 0.0  # TPU addition: beam length normalization exponent
+    # TPU addition: selective beam — decode greedily (whole-decode kernel),
+    # then re-decode only this fraction of least-confident rows (lowest mean
+    # chosen-token log-prob) with the full beam.  Near-beam BLEU at
+    # near-greedy throughput; 0 (or >=1) = plain beam when beam_size > 0.
+    selective_beam_frac: float = 0.0
     # Stop greedy/sampling decode once every sequence emitted END (the
     # reference's all-finished early break) — output-identical, faster on
     # trained models; routes around the fixed-length Pallas fast path.

@@ -49,6 +49,13 @@ class DecodeConfig:
     top_p: float = 0.0
     beam_size: int = 0
     length_penalty: float = 0.0
+    # Selective beam: with beam_size > 0 and 0 < frac < 1, decode everything
+    # greedily first (cheap — the whole-decode kernel), then re-decode only
+    # the ``frac`` least-confident rows (lowest mean chosen-token log-prob)
+    # with the full beam.  Beam reads most of its BLEU win from exactly the
+    # rows greedy was unsure about, so this buys near-beam quality at
+    # near-greedy throughput; frac>=1 (or 0) degenerates to plain beam.
+    selective_beam_frac: float = 0.0
     # Stop the decode loop as soon as every sequence has emitted END — the
     # reference's all-finished early break (``seq2seq.py:219-221``,
     # ``predictor.py:337-347``), as a ``lax.while_loop`` instead of the fixed
@@ -125,6 +132,7 @@ def greedy_sample_decode(
     batch_size: int,
     cfg: DecodeConfig,
     rng: Optional[jax.Array] = None,
+    return_scores: bool = False,
 ) -> jnp.ndarray:
     """Batched greedy (or filtered-sampling) decode.
 
@@ -135,11 +143,17 @@ def greedy_sample_decode(
     ``rng`` seeds the sampling draws; omitting it defaults to PRNGKey(0),
     making repeated sampling calls bit-identical — pass a fresh key per call
     for varied draws (the Predictor does).
+
+    ``return_scores=True`` additionally returns (B,) f32 per-sequence sums of
+    the chosen token's ``log_softmax`` (over the raw, unfiltered logits; END
+    included, post-END PAD steps excluded) — the confidence the
+    selective-beam path ranks on.  Oracle for the Pallas kernels' score
+    output.
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    def one_step(tokens, carry, finished, key):
+    def one_step(tokens, carry, finished, key, score):
         logits, carry = step_fn(tokens, carry)
         if cfg.sampling:
             key, sub = jax.random.split(key)
@@ -150,12 +164,17 @@ def greedy_sample_decode(
             # reference performs before it (predictor.py:330-335) — skip it.
             nxt = jnp.argmax(logits, axis=-1)
         nxt = nxt.astype(jnp.int32)
+        if return_scores:
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            step_lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+            score = score + jnp.where(finished, 0.0, step_lp)
         out = jnp.where(finished, jnp.int32(cfg.pad_id), nxt)
         finished = jnp.logical_or(finished, out == cfg.end_id)
-        return out, carry, finished, key
+        return out, carry, finished, key, score
 
     start = jnp.full((batch_size,), cfg.start_id, dtype=jnp.int32)
     finished0 = jnp.zeros((batch_size,), dtype=bool)
+    score0 = jnp.zeros((batch_size,), jnp.float32)
     T = cfg.max_length
 
     if cfg.early_exit:
@@ -165,28 +184,44 @@ def greedy_sample_decode(
         out0 = jnp.full((T, batch_size), cfg.pad_id, jnp.int32)
 
         def loop_cond(state):
-            t, _, _, finished, _, _ = state
+            t, _, _, finished, _, _, _ = state
             return jnp.logical_and(t < T, jnp.logical_not(jnp.all(finished)))
 
         def loop_body(state):
-            t, tokens, carry, finished, key, buf = state
-            out, carry, finished, key = one_step(tokens, carry, finished, key)
+            t, tokens, carry, finished, key, score, buf = state
+            out, carry, finished, key, score = one_step(tokens, carry, finished, key, score)
             buf = jax.lax.dynamic_update_slice(buf, out[None, :], (t, 0))
-            return t + 1, out, carry, finished, key, buf
+            return t + 1, out, carry, finished, key, score, buf
 
-        state = (jnp.int32(0), start, carry0, finished0, rng, out0)
-        *_, tokens_t = jax.lax.while_loop(loop_cond, loop_body, state)
+        state = (jnp.int32(0), start, carry0, finished0, rng, score0, out0)
+        *_, scores, tokens_t = jax.lax.while_loop(loop_cond, loop_body, state)
     else:
 
         def scan_step(state, _):
-            tokens, carry, finished, key = state
-            out, carry, finished, key = one_step(tokens, carry, finished, key)
-            return (out, carry, finished, key), out
+            tokens, carry, finished, key, score = state
+            out, carry, finished, key, score = one_step(tokens, carry, finished, key, score)
+            return (out, carry, finished, key, score), out
 
-        _, tokens_t = jax.lax.scan(
-            scan_step, (start, carry0, finished0, rng), None, length=T
+        (_, _, _, _, scores), tokens_t = jax.lax.scan(
+            scan_step, (start, carry0, finished0, rng, score0), None, length=T
         )
-    return jnp.swapaxes(tokens_t, 0, 1)  # (B, T)
+    tokens = jnp.swapaxes(tokens_t, 0, 1)  # (B, T)
+    if return_scores:
+        return tokens, scores
+    return tokens
+
+
+def select_uncertain(
+    tokens: jnp.ndarray, scores: jnp.ndarray, k: int, pad_id: int
+) -> jnp.ndarray:
+    """Indices ((k,) int32) of the k least-confident rows by mean
+    chosen-token log-prob (sum score / generated length).  Mean, not sum:
+    a sum ranks every long sequence as unconfident regardless of how sure
+    each step was."""
+    lengths = jnp.sum(tokens != pad_id, axis=-1).astype(jnp.float32)
+    mean_lp = scores / jnp.maximum(lengths, 1.0)
+    _, idx = jax.lax.top_k(-mean_lp, k)
+    return idx.astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------

@@ -239,6 +239,7 @@ def _decode_loop(
     end_id: int,
     pad_id: int,
     early_exit: bool,
+    score_ref=None,
 ):
     """The whole-decode loop body shared by every (greedy | sampling) x
     (vector | grid) kernel: one-hot embedding matmul, context from
@@ -246,6 +247,14 @@ def _decode_loop(
     attention for grid memory — ``grid_decode._attend``), the L-layer LSTM
     stack, vocab projection, then ``next_token`` picks (argmax or a
     filtered Gumbel-max draw).
+
+    ``score_ref`` (optional, (1, B) f32 VMEM): accumulates the sequence
+    log-probability — sum over emitting steps of ``log_softmax(logits)`` at
+    the chosen token (END included, post-END PAD steps masked).  The
+    selective-beam path ranks sequences by this confidence to choose which
+    rows get a beam re-decode (``predictor.py``).  The padded vocab columns
+    carry a ~-1e30 bias (``pack_decoder_weights``) so they vanish from the
+    logsumexp.
 
     Mosaic notes (the first version crashed the on-chip compiler): the token
     stream is written **time-major** so the per-step dynamic store
@@ -291,6 +300,15 @@ def _decode_loop(
             x = h_new.astype(dtype)
         logits = jnp.dot(x, w_out_ref[:], preferred_element_type=jnp.float32) + b_out_ref[:]
         nxt = next_token(t, logits)
+        if score_ref is not None:
+            # log-prob of the chosen token, masked on already-finished rows.
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+            chosen = jnp.sum(
+                jnp.where(col == nxt, logits, 0.0), axis=-1, keepdims=True
+            )  # (B, 1)
+            live = (1 - finished).astype(jnp.float32)
+            score_ref[...] += ((chosen - lse) * live).reshape(1, B)
         # finished-select and END-absorption in int32 arithmetic (no bools).
         out_tok = finished * jnp.int32(pad_id) + (1 - finished) * nxt
         finished = jnp.maximum(finished, (out_tok == end_id).astype(jnp.int32))
@@ -299,6 +317,8 @@ def _decode_loop(
 
     tokens0 = jnp.full((B, 1), start_id, jnp.int32)
     finished0 = jnp.zeros((B, 1), jnp.int32)
+    if score_ref is not None:
+        score_ref[...] = jnp.zeros_like(score_ref)
     if not early_exit:
         jax.lax.fori_loop(0, max_length, body, (tokens0, finished0))
         return
@@ -316,10 +336,13 @@ def _decode_loop(
     jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), tokens0, finished0))
 
 
-def _unpack_loop_refs(num_layers: int, refs, n_lead: int, n_extra: int = 0):
+def _unpack_loop_refs(
+    num_layers: int, refs, n_lead: int, n_extra: int = 0, n_out_extra: int = 0
+):
     """Common ref-layout unpacking for the whole-decode kernels:
     [<n_lead leading refs>] [emb] [w_ih_i w_hh_i b_i]*L [w_out] [b_out]
-    [<n_extra trailing input refs>] [out] [h scratch] [c scratch]."""
+    [<n_extra trailing input refs>] [out] [<n_out_extra extra output refs>]
+    [h scratch] [c scratch]."""
     lead = refs[:n_lead]
     emb_ref = refs[n_lead]
     idx = n_lead + 1
@@ -330,8 +353,13 @@ def _unpack_loop_refs(num_layers: int, refs, n_lead: int, n_extra: int = 0):
     w_out_ref, b_out_ref = refs[idx], refs[idx + 1]
     extra = refs[idx + 2 : idx + 2 + n_extra]
     out_ref = refs[idx + 2 + n_extra]
-    h_ref, c_ref = refs[idx + 3 + n_extra], refs[idx + 4 + n_extra]
-    return lead, emb_ref, layer_refs, w_out_ref, b_out_ref, extra, out_ref, h_ref, c_ref
+    out_extra = refs[idx + 3 + n_extra : idx + 3 + n_extra + n_out_extra]
+    h_ref = refs[idx + 3 + n_extra + n_out_extra]
+    c_ref = refs[idx + 4 + n_extra + n_out_extra]
+    return (
+        lead, emb_ref, layer_refs, w_out_ref, b_out_ref, extra, out_ref,
+        out_extra, h_ref, c_ref,
+    )
 
 
 def _full_decode_kernel(
@@ -341,6 +369,7 @@ def _full_decode_kernel(
     end_id: int,
     pad_id: int,
     early_exit: bool,
+    with_score: bool,
     *refs,
 ):
     """Entire greedy decode loop in ONE kernel: weights stay VMEM-resident
@@ -348,12 +377,14 @@ def _full_decode_kernel(
     per-step XLA scan bookkeeping).  See :func:`_decode_loop`.
 
     refs: [ctx (B,E)] [emb (Vp,E)] [w_ih_i w_hh_i b_i]*L [w_out (H,Vp)]
-          [b_out (1,Vp)] -> out [tokens (T,B) i32],
+          [b_out (1,Vp)] -> out [tokens (T,B) i32]
+          (+ [score (1,B) f32] when ``with_score``),
     scratch: h (L,B,H), c (L,B,H)
     """
-    (ctx_ref,), emb_ref, layer_refs, w_out_ref, b_out_ref, _, out_ref, h_ref, c_ref = (
-        _unpack_loop_refs(num_layers, refs, 1)
-    )
+    (
+        (ctx_ref,), emb_ref, layer_refs, w_out_ref, b_out_ref, _, out_ref,
+        out_extra, h_ref, c_ref,
+    ) = _unpack_loop_refs(num_layers, refs, 1, n_out_extra=1 if with_score else 0)
     ctx = ctx_ref[:]
 
     def greedy(t, logits):
@@ -363,6 +394,7 @@ def _full_decode_kernel(
         greedy, lambda h_top: ctx, emb_ref, layer_refs, w_out_ref, b_out_ref,
         out_ref, h_ref, c_ref,
         num_layers, max_length, start_id, end_id, pad_id, early_exit,
+        score_ref=out_extra[0] if with_score else None,
     )
 
 
@@ -376,8 +408,13 @@ def pallas_full_greedy_decode(
     interpret: bool = False,
     batch_tile: int = 256,
     early_exit: bool = False,
+    return_scores: bool = False,
 ) -> jnp.ndarray:
     """Whole-decode-in-one-kernel variant of :func:`pallas_greedy_decode`.
+
+    ``return_scores=True`` additionally returns the per-sequence sum of
+    chosen-token log-probs ((B,) f32 — see ``_decode_loop``'s ``score_ref``),
+    the confidence signal the selective-beam path ranks on.
 
     ``early_exit=True`` swaps the in-kernel fori_loop for a while_loop that
     bails out once every row in the tile has emitted END (tail rows are
@@ -403,7 +440,8 @@ def pallas_full_greedy_decode(
     H = int(packed["hidden_dim"])
     dtype = packed["emb"].dtype
     kernel = functools.partial(
-        _full_decode_kernel, L, max_length, start_id, end_id, pad_id, early_exit
+        _full_decode_kernel, L, max_length, start_id, end_id, pad_id, early_exit,
+        return_scores,
     )
     weight_args: List[jnp.ndarray] = [packed["emb"]]
     for i in range(L):
@@ -411,27 +449,40 @@ def pallas_full_greedy_decode(
     weight_args += [packed["w_out"], packed["b_out"].reshape(1, -1)]
     n_inputs = 1 + len(weight_args)
 
-    def one_tile(ctx_tile: jnp.ndarray) -> jnp.ndarray:
+    def one_tile(ctx_tile: jnp.ndarray):
         tile = ctx_tile.shape[0]
-        return pl.pallas_call(
+        out_shape = [jax.ShapeDtypeStruct((max_length, tile), jnp.int32)]
+        out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        if return_scores:
+            out_shape.append(jax.ShapeDtypeStruct((1, tile), jnp.float32))
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((max_length, tile), jnp.int32),
+            out_shape=out_shape,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_inputs,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((L, tile, H), dtype),
                 pltpu.VMEM((L, tile, H), dtype),
             ],
             interpret=interpret,
         )(ctx_tile, *weight_args)
+        return tuple(out) if return_scores else out[0]
 
     ctx = context.astype(dtype)
     if B <= batch_tile:
+        if return_scores:
+            tokens_tb, score = one_tile(ctx)
+            return jnp.swapaxes(tokens_tb, 0, 1), score.reshape(B)
         return jnp.swapaxes(one_tile(ctx), 0, 1)
     Bp = _round_up(B, batch_tile)
     if Bp != B:
         ctx = jnp.pad(ctx, ((0, Bp - B), (0, 0)))
     chunks = ctx.reshape(Bp // batch_tile, batch_tile, -1)
+    if return_scores:
+        tokens_tb, scores_tb = jax.lax.map(one_tile, chunks)  # (nc,T,tile),(nc,1,tile)
+        tokens = jnp.swapaxes(tokens_tb, 1, 2).reshape(Bp, max_length)
+        return tokens[:B], scores_tb.reshape(Bp)[:B]
     tokens_tb = jax.lax.map(one_tile, chunks)  # (nc, T, tile)
     tokens = jnp.swapaxes(tokens_tb, 1, 2).reshape(Bp, max_length)
     return tokens[:B]
@@ -552,7 +603,7 @@ def _full_sample_kernel(
           [b_out (1,Vp)] [seed (1,1) i32 SMEM] -> out [tokens (T,B) i32],
     scratch: h (L,B,H), c (L,B,H)
     """
-    (ctx_ref,), emb_ref, layer_refs, w_out_ref, b_out_ref, (seed_ref,), out_ref, h_ref, c_ref = (
+    (ctx_ref,), emb_ref, layer_refs, w_out_ref, b_out_ref, (seed_ref,), out_ref, _, h_ref, c_ref = (
         _unpack_loop_refs(num_layers, refs, 1, n_extra=1)
     )
     ctx = ctx_ref[:]

@@ -142,11 +142,13 @@ def _grid_greedy_kernel(
     end_id: int,
     pad_id: int,
     early_exit: bool,
+    with_score: bool,
     *refs,
 ):
     """refs: [mem (B,S,E)] [u (B,S,A)] [emb (Vp,E)] [w_ih_i w_hh_i b_i]*L
     [w_h (H,A)] [v (1,A)] [w_out (H,Vp)] [b_out (1,Vp)]
-    -> out [tokens (T,B) i32]; scratch h (L,B,H), c (L,B,H).
+    -> out [tokens (T,B) i32] (+ [score (1,B) f32] when ``with_score``);
+    scratch h (L,B,H), c (L,B,H).
 
     Shares the decode loop with the vector kernels
     (``decode_step._decode_loop``); the context closure runs in-kernel
@@ -155,8 +157,9 @@ def _grid_greedy_kernel(
     models/decoder.py)."""
     (
         (mem_ref, u_ref, w_h_ref, v_ref),
-        emb_ref, layer_refs, w_out_ref, b_out_ref, _, out_ref, h_ref, c_ref,
-    ) = _unpack_grid_refs(num_layers, refs)
+        emb_ref, layer_refs, w_out_ref, b_out_ref, _, out_ref, out_extra,
+        h_ref, c_ref,
+    ) = _unpack_grid_refs(num_layers, refs, n_out_extra=1 if with_score else 0)
 
     def greedy(t, logits):
         return jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
@@ -166,12 +169,13 @@ def _grid_greedy_kernel(
         lambda h_top: _attend(mem_ref, u_ref, w_h_ref, v_ref, h_top),
         emb_ref, layer_refs, w_out_ref, b_out_ref, out_ref, h_ref, c_ref,
         num_layers, max_length, start_id, end_id, pad_id, early_exit,
+        score_ref=out_extra[0] if with_score else None,
     )
 
 
-def _unpack_grid_refs(num_layers: int, refs, n_extra: int = 0):
+def _unpack_grid_refs(num_layers: int, refs, n_extra: int = 0, n_out_extra: int = 0):
     """Grid ref layout: [mem] [u] [emb] [w_ih_i w_hh_i b_i]*L [w_h] [v]
-    [w_out] [b_out] [extras] [out] [h] [c] — reorder
+    [w_out] [b_out] [extras] [out] [extra outs] [h] [c] — reorder
     ``decode_step._unpack_loop_refs``'s lead/post split so the attention
     operands (mem, u, w_h, v) come back as one lead tuple."""
     mem_ref, u_ref, emb_ref = refs[0], refs[1], refs[2]
@@ -183,10 +187,13 @@ def _unpack_grid_refs(num_layers: int, refs, n_extra: int = 0):
     w_h_ref, v_ref, w_out_ref, b_out_ref = refs[idx], refs[idx + 1], refs[idx + 2], refs[idx + 3]
     extra = refs[idx + 4 : idx + 4 + n_extra]
     out_ref = refs[idx + 4 + n_extra]
-    h_ref, c_ref = refs[idx + 5 + n_extra], refs[idx + 6 + n_extra]
+    out_extra = refs[idx + 5 + n_extra : idx + 5 + n_extra + n_out_extra]
+    h_ref = refs[idx + 5 + n_extra + n_out_extra]
+    c_ref = refs[idx + 6 + n_extra + n_out_extra]
     return (
         (mem_ref, u_ref, w_h_ref, v_ref),
-        emb_ref, layer_refs, w_out_ref, b_out_ref, extra, out_ref, h_ref, c_ref,
+        emb_ref, layer_refs, w_out_ref, b_out_ref, extra, out_ref, out_extra,
+        h_ref, c_ref,
     )
 
 
@@ -210,7 +217,8 @@ def _grid_sample_kernel(
     [seed (1,1) i32 SMEM] -> out [tokens (T,B) i32]; scratch h, c."""
     (
         (mem_ref, u_ref, w_h_ref, v_ref),
-        emb_ref, layer_refs, w_out_ref, b_out_ref, (seed_ref,), out_ref, h_ref, c_ref,
+        emb_ref, layer_refs, w_out_ref, b_out_ref, (seed_ref,), out_ref, _,
+        h_ref, c_ref,
     ) = _unpack_grid_refs(num_layers, refs, n_extra=1)
     sampler = _make_sampler(seed_ref, h_ref.shape[1], emb_ref.shape[0], top_k, top_p)
     _decode_loop(
@@ -271,11 +279,14 @@ def _auto_tile(packed, att, S: int, budget_bytes: int = 0, batch: int = 0) -> in
 
 
 def _run_tiled(one_tile, operands: Tuple[jnp.ndarray, ...], B: int, batch_tile: int,
-               max_length: int, per_tile: jnp.ndarray | None = None) -> jnp.ndarray:
+               max_length: int, per_tile: jnp.ndarray | None = None,
+               with_scores: bool = False) -> jnp.ndarray:
     """Pad B to a multiple of batch_tile and lax.map ``one_tile`` over chunks.
     Each operand's leading dim is B; extra (non-batch) args ride via closure,
     except ``per_tile`` — a (num_chunks,) array appended as the last arg of
-    each chunk (per-tile sampling seeds)."""
+    each chunk (per-tile sampling seeds).  ``with_scores``: ``one_tile``
+    returns (tokens (T, tile), score (1, tile)) and so does this (unpadded,
+    batch-major)."""
     Bp = _round_up(B, batch_tile)
     padded = tuple(
         jnp.pad(x, ((0, Bp - B),) + ((0, 0),) * (x.ndim - 1)) if Bp != B else x
@@ -286,16 +297,22 @@ def _run_tiled(one_tile, operands: Tuple[jnp.ndarray, ...], B: int, batch_tile: 
         # Extra per-chunk scalar operand (e.g. the sampling seed): element i
         # rides with chunk i rather than being split along the batch.
         if nc == 1:
-            tokens_tb = one_tile(padded + (per_tile[0],))[None]
+            out = one_tile(padded + (per_tile[0],))
+            out = jax.tree_util.tree_map(lambda x: x[None], out)
         else:
             chunks = tuple(x.reshape((nc, batch_tile) + x.shape[1:]) for x in padded)
-            tokens_tb = jax.lax.map(one_tile, chunks + (per_tile,))
+            out = jax.lax.map(one_tile, chunks + (per_tile,))
     elif nc == 1:
-        tokens_tb = one_tile(padded)[None]
+        out = one_tile(padded)
+        out = jax.tree_util.tree_map(lambda x: x[None], out)
     else:
         chunks = tuple(x.reshape((nc, batch_tile) + x.shape[1:]) for x in padded)
-        tokens_tb = jax.lax.map(one_tile, chunks)  # (nc, T, tile)
-    tokens = jnp.swapaxes(tokens_tb, 1, 2).reshape(Bp, max_length)
+        out = jax.lax.map(one_tile, chunks)  # (nc, T, tile)[, (nc, 1, tile)]
+    if with_scores:
+        tokens_tb, score_tb = out
+        tokens = jnp.swapaxes(tokens_tb, 1, 2).reshape(Bp, max_length)
+        return tokens[:B], score_tb.reshape(Bp)[:B]
+    tokens = jnp.swapaxes(out, 1, 2).reshape(Bp, max_length)
     return tokens[:B]
 
 
@@ -310,10 +327,15 @@ def pallas_full_grid_greedy_decode(
     interpret: bool = False,
     batch_tile: int = 0,
     early_exit: bool = False,
+    return_scores: bool = False,
 ) -> jnp.ndarray:
     """Grid-memory analog of ``pallas_full_greedy_decode``: returns (B, T)
     int32 tokens, semantically identical to the scan path
-    (``greedy_sample_decode`` over ``Seq2SeqModel.decode_step``)."""
+    (``greedy_sample_decode`` over ``Seq2SeqModel.decode_step``).
+
+    ``return_scores=True`` additionally returns the (B,) f32 per-sequence
+    sum of chosen-token log-probs (``_decode_loop``'s ``score_ref``) — the
+    selective-beam confidence signal."""
     B, S, E = memory.shape
     L = int(packed["num_layers"])
     H = int(packed["hidden_dim"])
@@ -321,7 +343,8 @@ def pallas_full_grid_greedy_decode(
     if batch_tile <= 0:
         batch_tile = _auto_tile(packed, att, S, batch=B)
     kernel = functools.partial(
-        _grid_greedy_kernel, L, max_length, start_id, end_id, pad_id, early_exit
+        _grid_greedy_kernel, L, max_length, start_id, end_id, pad_id, early_exit,
+        return_scores,
     )
     weight_args: List[jnp.ndarray] = [packed["emb"]]
     for i in range(L):
@@ -332,22 +355,30 @@ def pallas_full_grid_greedy_decode(
     mem = memory.astype(dtype)
     u = grid_memory_proj(att, memory)  # (B, S, A) once per batch, XLA
 
-    def one_tile(args) -> jnp.ndarray:
+    def one_tile(args):
         mem_t, u_t = args
         tile = mem_t.shape[0]
-        return pl.pallas_call(
+        out_shape = [jax.ShapeDtypeStruct((max_length, tile), jnp.int32)]
+        out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        if return_scores:
+            out_shape.append(jax.ShapeDtypeStruct((1, tile), jnp.float32))
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((max_length, tile), jnp.int32),
+            out_shape=out_shape,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_inputs,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((L, tile, H), dtype),
                 pltpu.VMEM((L, tile, H), dtype),
             ],
             interpret=interpret,
         )(mem_t, u_t, *weight_args)
+        return tuple(out) if return_scores else out[0]
 
-    return _run_tiled(one_tile, (mem, u), B, batch_tile, max_length)
+    return _run_tiled(
+        one_tile, (mem, u), B, batch_tile, max_length, with_scores=return_scores
+    )
 
 
 def _grid_beam_kernel(

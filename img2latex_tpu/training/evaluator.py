@@ -77,6 +77,7 @@ def evaluate_checkpoint(
         beam_size=beam_size if beam_size is not None else icfg.beam_size,
         length_penalty=length_penalty if length_penalty is not None else icfg.length_penalty,
         early_exit=early_exit if early_exit is not None else getattr(icfg, "early_exit", False),
+        selective_beam_frac=getattr(icfg, "selective_beam_frac", 0.0),
     )
 
     if bucket_widths is None:
@@ -177,6 +178,7 @@ def _finish(cfg, tok, split, all_preds, all_tgts, rows, n_images, decode_s,
             "top_k": dcfg.top_k,
             "top_p": dcfg.top_p,
             "length_penalty": dcfg.length_penalty,
+            "selective_beam_frac": dcfg.selective_beam_frac,
             "max_length": dcfg.max_length,
         },
     }
@@ -228,6 +230,7 @@ def _evaluate_bucketed(pred, cfg, loader, dcfg, split, bucket_widths, max_batche
         batch_size=loader.batch_size,
         return_ids=True,
         bucket_widths=bucket_widths,
+        selective_beam_frac=dcfg.selective_beam_frac,
     )
     wall = time.perf_counter() - t0
     tgt_rows = np.stack([ds.token_ids(i) for i in range(n)])

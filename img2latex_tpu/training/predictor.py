@@ -15,6 +15,7 @@ decodes and detokenizes) with two upgrades:
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Union
 
@@ -29,6 +30,7 @@ from img2latex_tpu.decoding.decode import (
     DecodeConfig,
     beam_decode,
     greedy_sample_decode,
+    select_uncertain,
     trim_host,
 )
 from img2latex_tpu.models.seq2seq import Seq2SeqModel, build_model
@@ -438,14 +440,23 @@ class Predictor:
 
         if use_pallas_beam:
             from img2latex_tpu.ops.pallas.beam_decode import pallas_full_beam_decode
-            from img2latex_tpu.ops.pallas.decode_step import pack_decoder_weights
+            from img2latex_tpu.ops.pallas.decode_step import (
+                pack_decoder_weights,
+                pallas_full_greedy_decode,
+            )
 
             packed = pack_decoder_weights(self._variables(), self.tokenizer.vocab_size, dtype)
+            # Selective beam (inference.selective_beam_frac in (0,1)): greedy
+            # whole-decode kernel over everything (with per-row confidence),
+            # full beam kernel over only the least-confident rows, merge.
+            frac = dcfg.selective_beam_frac
+            selective = 0.0 < frac < 1.0
 
             if mem_kind == "grid":
                 from img2latex_tpu.ops.pallas.grid_decode import (
                     pack_attention_weights,
                     pallas_full_grid_beam_decode,
+                    pallas_full_grid_greedy_decode,
                 )
 
                 weights = (packed, pack_attention_weights(self._variables(), dtype))
@@ -454,6 +465,21 @@ class Predictor:
                     # Grid whole-beam kernel: per-beam in-kernel attention
                     # over the VMEM-resident memory (ops/pallas/grid_decode).
                     pk, att = wts
+                    if selective:
+                        tokens_g, scores = pallas_full_grid_greedy_decode(
+                            pk, att, memory, dcfg.max_length, dcfg.start_id,
+                            dcfg.end_id, dcfg.pad_id,
+                            early_exit=dcfg.early_exit, interpret=interp,
+                            return_scores=True,
+                        )
+                        k = max(1, math.ceil(frac * memory.shape[0]))
+                        idx = select_uncertain(tokens_g, scores, k, dcfg.pad_id)
+                        tokens_b, _ = pallas_full_grid_beam_decode(
+                            pk, att, jnp.take(memory, idx, axis=0),
+                            dcfg.beam_size, dcfg,
+                            early_exit=dcfg.early_exit, interpret=interp,
+                        )
+                        return tokens_g.at[idx].set(tokens_b)
                     tokens, _scores = pallas_full_grid_beam_decode(
                         pk, att, memory, dcfg.beam_size, dcfg,
                         early_exit=dcfg.early_exit, interpret=interp,
@@ -466,8 +492,23 @@ class Predictor:
                 def beam_kernel_path(wts, memory):
                     # Whole-beam-decode in one kernel: weights VMEM-resident
                     # across all steps; in-kernel K*V top-k + carry gathers.
+                    ctx = memory[:, 0, :]
+                    if selective:
+                        tokens_g, scores = pallas_full_greedy_decode(
+                            wts, ctx, dcfg.max_length, dcfg.start_id,
+                            dcfg.end_id, dcfg.pad_id,
+                            early_exit=dcfg.early_exit, interpret=interp,
+                            return_scores=True,
+                        )
+                        k = max(1, math.ceil(frac * ctx.shape[0]))
+                        idx = select_uncertain(tokens_g, scores, k, dcfg.pad_id)
+                        tokens_b, _ = pallas_full_beam_decode(
+                            wts, jnp.take(ctx, idx, axis=0), dcfg.beam_size,
+                            dcfg, early_exit=dcfg.early_exit, interpret=interp,
+                        )
+                        return tokens_g.at[idx].set(tokens_b)
                     tokens, _scores = pallas_full_beam_decode(
-                        wts, memory[:, 0, :], dcfg.beam_size, dcfg,
+                        wts, ctx, dcfg.beam_size, dcfg,
                         early_exit=dcfg.early_exit, interpret=interp,
                     )
                     return tokens
@@ -544,6 +585,44 @@ class Predictor:
 
             if dcfg.beam_size > 0:
                 K = dcfg.beam_size
+                frac = dcfg.selective_beam_frac
+                if 0.0 < frac < 1.0 and not dcfg.sampling:
+                    # Selective beam, scan flavor (the oracle the Pallas
+                    # selective path is tested against): greedy everything
+                    # with confidence, beam only the k least-confident rows.
+                    def g_step(tokens, carry):
+                        return model.apply(
+                            variables, memory, tokens, carry, mem_proj,
+                            method=Seq2SeqModel.decode_step,
+                        )
+
+                    g_carry0 = (
+                        jnp.zeros((layers, batch, hidden), dtype),
+                        jnp.zeros((layers, batch, hidden), dtype),
+                    )
+                    tokens_g, scores = greedy_sample_decode(
+                        g_step, g_carry0, batch, dcfg, rng=rng, return_scores=True
+                    )
+                    k = max(1, math.ceil(frac * batch))
+                    idx = select_uncertain(tokens_g, scores, k, dcfg.pad_id)
+                    mem_sub = jnp.take(memory, idx, axis=0)
+                    proj_sub = None if mem_proj is None else jnp.take(mem_proj, idx, axis=0)
+                    mem_exp = jnp.repeat(mem_sub, K, axis=0)  # (k*K, S, E)
+                    proj_exp = None if proj_sub is None else jnp.repeat(proj_sub, K, axis=0)
+
+                    def b_step(tokens, carry):
+                        return model.apply(
+                            variables, mem_exp, tokens, carry, proj_exp,
+                            method=Seq2SeqModel.decode_step,
+                        )
+
+                    b_carry0 = (
+                        jnp.zeros((layers, k * K, hidden), dtype),
+                        jnp.zeros((layers, k * K, hidden), dtype),
+                    )
+                    tokens_b, _ = beam_decode(b_step, b_carry0, k, K, dcfg)
+                    return tokens_g.at[idx].set(tokens_b)
+
                 mem_exp = jnp.repeat(memory, K, axis=0)  # (B*K, S, E)
                 proj_exp = None if mem_proj is None else jnp.repeat(mem_proj, K, axis=0)
 
@@ -679,6 +758,7 @@ class Predictor:
         seed: int = 0,
         return_ids: bool = False,
         bucket_widths: Optional[Sequence[int]] = None,
+        selective_beam_frac: Optional[float] = None,
     ) -> List[Any]:
         icfg = self.cfg.inference
         if bucket_widths is None:
@@ -694,6 +774,11 @@ class Predictor:
             beam_size=beam_size if beam_size is not None else icfg.beam_size,
             length_penalty=length_penalty if length_penalty is not None else icfg.length_penalty,
             early_exit=early_exit if early_exit is not None else getattr(icfg, "early_exit", False),
+            selective_beam_frac=(
+                selective_beam_frac
+                if selective_beam_frac is not None
+                else getattr(icfg, "selective_beam_frac", 0.0)
+            ),
         )
         B = batch_size or self.batch_size
         h, w, c = self.cfg.image_shape

@@ -154,6 +154,54 @@ class TestFullLoopKernel:
         assert (arr[:, 1:] == 0).all()  # PAD tail
 
 
+class TestGreedyScores:
+    """return_scores: the kernel's per-sequence sum of chosen-token log-probs
+    (the selective-beam confidence) must match the scan oracle exactly at
+    f32, including under batch tiling and early_exit."""
+
+    def _oracle(self, setup, T=20):
+        cfg, model, params, memory, packed, V = setup
+        B = memory.shape[0]
+
+        def step_fn(tokens, carry):
+            return model.apply(params, memory, tokens, carry, method=Seq2SeqModel.decode_step)
+
+        dcfg = DecodeConfig(max_length=T, start_id=1, end_id=2, pad_id=0)
+        return greedy_sample_decode(
+            step_fn, init_decoder_carry(2, B, 128), B, dcfg, return_scores=True
+        )
+
+    def test_scores_match_scan_oracle(self, setup):
+        from img2latex_tpu.ops.pallas.decode_step import pallas_full_greedy_decode
+
+        _, _, _, memory, packed, _ = setup
+        ref_tokens, ref_scores = self._oracle(setup)
+        got_tokens, got_scores = pallas_full_greedy_decode(
+            packed, memory[:, 0, :], 20, 1, 2, 0, interpret=True, return_scores=True
+        )
+        np.testing.assert_array_equal(np.asarray(ref_tokens), np.asarray(got_tokens))
+        np.testing.assert_allclose(
+            np.asarray(ref_scores), np.asarray(got_scores), atol=1e-4
+        )
+        assert np.all(np.asarray(got_scores) <= 0.0)  # log-probs
+
+    def test_scores_under_tiling_and_early_exit(self, setup):
+        from img2latex_tpu.ops.pallas.decode_step import pallas_full_greedy_decode
+
+        _, _, _, memory, packed, _ = setup
+        ctx = memory[:, 0, :]
+        ref_t, ref_s = pallas_full_greedy_decode(
+            packed, ctx, 20, 1, 2, 0, interpret=True, return_scores=True
+        )
+        for kw in ({"batch_tile": 3}, {"early_exit": True},
+                   {"batch_tile": 3, "early_exit": True}):
+            got_t, got_s = pallas_full_greedy_decode(
+                packed, ctx, 20, 1, 2, 0, interpret=True, return_scores=True, **kw
+            )
+            np.testing.assert_array_equal(np.asarray(ref_t), np.asarray(got_t))
+            np.testing.assert_allclose(np.asarray(ref_s), np.asarray(got_s), atol=1e-5)
+
+
 class TestFullSampleKernel:
     """Whole-decode sampling kernel (temperature + top-k + Gumbel-max)."""
 

@@ -132,6 +132,36 @@ class TestGridGreedyKernel:
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(tiled))
 
 
+class TestGridGreedyScores:
+    def test_scores_match_scan_oracle(self, setup):
+        """Kernel confidence (sum chosen-token log-prob) == scan oracle at
+        f32, incl. under tiling + early_exit (selective-beam signal)."""
+        cfg, model, params, memory, packed, att, V = setup
+        B = memory.shape[0]
+        dcfg = DecodeConfig(max_length=20, start_id=1, end_id=2, pad_id=0)
+
+        def step_fn(tokens, carry):
+            return model.apply(params, memory, tokens, carry, method=Seq2SeqModel.decode_step)
+
+        ref_t, ref_s = greedy_sample_decode(
+            step_fn,
+            init_decoder_carry(2, B, cfg.model.decoder.hidden_dim),
+            B, dcfg, return_scores=True,
+        )
+        got_t, got_s = pallas_full_grid_greedy_decode(
+            packed, att, memory, 20, 1, 2, 0, interpret=True, return_scores=True
+        )
+        np.testing.assert_array_equal(np.asarray(ref_t), np.asarray(got_t))
+        np.testing.assert_allclose(np.asarray(ref_s), np.asarray(got_s), atol=1e-4)
+        for kw in ({"batch_tile": 3}, {"early_exit": True}):
+            t2, s2 = pallas_full_grid_greedy_decode(
+                packed, att, memory, 20, 1, 2, 0, interpret=True,
+                return_scores=True, **kw,
+            )
+            np.testing.assert_array_equal(np.asarray(got_t), np.asarray(t2))
+            np.testing.assert_allclose(np.asarray(got_s), np.asarray(s2), atol=1e-5)
+
+
 class TestGridBeamKernel:
     def _scan_beam(self, cfg, model, params, memory, K, dcfg):
         B = memory.shape[0]

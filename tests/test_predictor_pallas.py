@@ -76,6 +76,39 @@ class TestPallasWiring:
         ref, got = _ab(_predictor(memory), beam_size=3, length_penalty=1.5)
         assert [list(r) for r in ref] == [list(g) for g in got]
 
+    def test_selective_beam_kernel_matches_scan(self, memory):
+        """Selective beam (greedy+confidence -> beam on the least-confident
+        fraction -> merge) through the kernels == the scan-path selective
+        oracle at f32."""
+        ref, got = _ab(
+            _predictor(memory), beam_size=3, selective_beam_frac=0.5,
+            length_penalty=1.5,
+        )
+        assert [list(r) for r in ref] == [list(g) for g in got]
+
+    def test_selective_beam_semantics(self, memory):
+        """Every selective output row is either that row's greedy decode or
+        its full-beam decode; at most ceil(frac*B) rows diverge from greedy;
+        frac ~ 1 reproduces full beam exactly."""
+        pred = _predictor(memory)
+        imgs = _images()
+        pred.cfg.hardware.use_pallas_decode = False
+        greedy = pred.predict_batch(imgs, beam_size=0, return_ids=True)
+        beam = pred.predict_batch(imgs, beam_size=3, return_ids=True)
+        sel = pred.predict_batch(
+            imgs, beam_size=3, selective_beam_frac=0.34, return_ids=True
+        )
+        diverged = 0
+        for s, g, b in zip(sel, greedy, beam):
+            assert s == g or s == b
+            if s != g:
+                diverged += 1
+        assert diverged <= int(np.ceil(0.34 * pred.batch_size)) * 2  # 6 imgs, 2 chunks
+        full = pred.predict_batch(
+            imgs, beam_size=3, selective_beam_frac=0.999, return_ids=True
+        )
+        assert full == beam
+
     def test_sampling_support(self, memory):
         """Sampling draws differ across RNG contracts (scan uses jax PRNG,
         kernels an in-kernel hash) — pin that the kernel path ENGAGES and
