@@ -16,6 +16,14 @@ Variants (functional 3-block chain, params from a real CNNEncoder init):
              passed in as host constants; each block's epilogue emits int8
 
 Usage: python scripts/bench_int8_static.py [batch] [iters]
+
+MEASURED (v5e, 2026-08-18, batch 3072, 20 iters): bf16 73.96 ms = 41,536
+img/s; dyn-int8 87.02 ms (0.850x); static 88.36 ms (**0.837x — slower than
+dynamic**).  Static scales do NOT rescue int8 convs on this toolchain: XLA
+does not run the int8xint8->int32 convs anywhere near the 2x MXU rate at
+these shapes, so removing the abs-max pass doesn't matter.  Together with
+bench_int8.py and probe_int8_matmul.py (1.09-1.25x at decode shapes), the
+int8-encoder direction is closed: bf16 is the production path.
 """
 
 from __future__ import annotations
