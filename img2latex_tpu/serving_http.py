@@ -44,6 +44,7 @@ _OPTION_TYPES = {
     "top_k": int,
     "top_p": float,
     "length_penalty": float,
+    "selective_beam_frac": float,
 }
 
 

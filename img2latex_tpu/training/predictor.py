@@ -449,6 +449,10 @@ class Predictor:
             # Selective beam (inference.selective_beam_frac in (0,1)): greedy
             # whole-decode kernel over everything (with per-row confidence),
             # full beam kernel over only the least-confident rows, merge.
+            # Caveat: in a zero-padded final partial chunk (predict_batch)
+            # the padding rows compete for beam slots; real rows then get at
+            # worst their greedy decode — never a wrong result, just fewer
+            # beam upgrades in that one chunk.
             frac = dcfg.selective_beam_frac
             selective = 0.0 < frac < 1.0
 
