@@ -8,8 +8,11 @@ cost model: t(frac) ~ t_greedy_with_scores + frac * t_beam — this bench
 measures the actual curve at reference scale (vocab 503, 64x800, embed/
 hidden 512, 141 steps, bf16, vector memory).
 
-Usage: python scripts/bench_selective.py [batch] [beam_size] [iters]
+Usage: python scripts/bench_selective.py [batch] [beam_size] [iters] [--grid]
 Prints one JSON line per variant: greedy, beam, selective @ 0.1/0.2/0.3.
+``--grid``: grid-memory flagship shapes (embed 256 / hidden 384, S=100,
+in-kernel attention — ops/pallas/grid_decode.py) instead of the vector
+reference scale.
 """
 
 from __future__ import annotations
@@ -48,13 +51,20 @@ def main() -> None:
     )
     from img2latex_tpu.ops.preprocess import normalize_images
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 3072
-    K = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    grid = "--grid" in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    B = int(argv[0]) if argv else 3072
+    K = int(argv[1]) if len(argv) > 1 else 5
+    iters = int(argv[2]) if len(argv) > 2 else 10
 
     cfg = Config()
-    cfg.model.embedding_dim = EMBED
-    cfg.model.decoder.hidden_dim = HIDDEN
+    if grid:
+        cfg.model.memory = "grid"
+        cfg.model.embedding_dim = 256
+        cfg.model.decoder.hidden_dim = 384
+    else:
+        cfg.model.embedding_dim = EMBED
+        cfg.model.decoder.hidden_dim = HIDDEN
     cfg.model.decoder.lstm_layers = LAYERS
     cfg.model.decoder.dropout = 0.0
     cfg.model.encoder.cnn.img_height = IMG_H
@@ -73,32 +83,50 @@ def main() -> None:
     dt = jnp.bfloat16
     dcfg = DecodeConfig(max_length=MAX_LEN, start_id=1, end_id=2, pad_id=0, beam_size=K)
     packed = pack_decoder_weights(params, VOCAB, dt)
+    att = None
+    if grid:
+        from img2latex_tpu.ops.pallas.grid_decode import (
+            pack_attention_weights,
+            pallas_full_grid_beam_decode,
+            pallas_full_grid_greedy_decode,
+        )
+
+        att = pack_attention_weights(params, dt)
 
     def encode(params, images_u8):
         x = normalize_images(images_u8, compute_dtype=dt)
-        return model.apply(params, x, method=Seq2SeqModel.encode)[:, 0, :]
+        mem = model.apply(params, x, method=Seq2SeqModel.encode)
+        return mem if grid else mem[:, 0, :]
+
+    def g_decode(ctx, return_scores=False):
+        if grid:
+            return pallas_full_grid_greedy_decode(
+                packed, att, ctx, MAX_LEN, dcfg.start_id, dcfg.end_id,
+                dcfg.pad_id, return_scores=return_scores,
+            )
+        return pallas_full_greedy_decode(
+            packed, ctx, MAX_LEN, dcfg.start_id, dcfg.end_id, dcfg.pad_id,
+            return_scores=return_scores,
+        )
+
+    def b_decode(ctx):
+        if grid:
+            return pallas_full_grid_beam_decode(packed, att, ctx, K, dcfg)[0]
+        return pallas_full_beam_decode(packed, ctx, K, dcfg)[0]
 
     def make_run(frac: float, mode: str):
         def decode(params, images_u8):
             ctx = encode(params, images_u8)
             if mode == "greedy":
-                return pallas_full_greedy_decode(
-                    packed, ctx, MAX_LEN, dcfg.start_id, dcfg.end_id, dcfg.pad_id
-                )
+                return g_decode(ctx)
             if mode == "beam":
-                tokens, _ = pallas_full_beam_decode(packed, ctx, K, dcfg)
-                return tokens
-            tokens_g, scores = pallas_full_greedy_decode(
-                packed, ctx, MAX_LEN, dcfg.start_id, dcfg.end_id, dcfg.pad_id,
-                return_scores=True,
-            )
+                return b_decode(ctx)
+            tokens_g, scores = g_decode(ctx, return_scores=True)
             import math
 
             k = max(1, math.ceil(frac * B))
             idx = select_uncertain(tokens_g, scores, k, dcfg.pad_id)
-            tokens_b, _ = pallas_full_beam_decode(
-                packed, jnp.take(ctx, idx, axis=0), K, dcfg
-            )
+            tokens_b = b_decode(jnp.take(ctx, idx, axis=0))
             return tokens_g.at[idx].set(tokens_b)
 
         return jax.jit(decode)
