@@ -152,6 +152,26 @@ class TestBucketedExactness:
         )
         assert fixed == bucketed
 
+    def test_selective_beam_bucketed_membership(self):
+        """Selective beam composes with bucketing: the ranking runs per
+        bucket group, so outputs need not equal the non-bucketed selective
+        run — but every row must still be exactly its greedy or its full
+        beam decode (both bucketing-invariant)."""
+        pred, _ = _predictor("vector")
+        imgs = _content_images([40, 90, 60, 120], h=32)
+        greedy = pred.predict_batch(
+            imgs, return_ids=True, beam_size=0, bucket_widths=[64, 128]
+        )
+        beam = pred.predict_batch(
+            imgs, return_ids=True, beam_size=3, bucket_widths=[64, 128]
+        )
+        sel = pred.predict_batch(
+            imgs, return_ids=True, beam_size=3, selective_beam_frac=0.5,
+            bucket_widths=[64, 128],
+        )
+        for s, g, b in zip(sel, greedy, beam):
+            assert s == g or s == b
+
     def test_order_preserved_across_buckets(self):
         pred, _ = _predictor("vector")
         # interleave wide/narrow so groups are non-contiguous
