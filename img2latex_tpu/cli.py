@@ -161,6 +161,42 @@ def cmd_predict(args: argparse.Namespace) -> int:
             images.append(item)
     if not images:
         raise SystemExit("No images found")
+    if getattr(args, "exported", False):
+        # CHECKPOINT is a `img2latex-tpu export` directory: decode settings
+        # are baked into the serialized executables, so the tuning flags
+        # cannot apply — reject them instead of silently ignoring.
+        baked = {
+            "beam_size": args.beam_size, "max_length": args.max_length,
+            "temperature": args.temperature, "top_k": args.top_k,
+            "top_p": args.top_p, "length_penalty": args.length_penalty,
+            "early_exit": args.early_exit,
+        }
+        stray = [k for k, v in baked.items() if v is not None]
+        if stray or args.set:
+            raise SystemExit(
+                f"--exported artifacts bake their decode config; remove "
+                f"{stray + (['--set'] if args.set else [])} or re-export"
+            )
+        from img2latex_tpu.export import ExportedPredictor
+
+        exported = ExportedPredictor.load(args.checkpoint)
+        log_execution_params(
+            logger,
+            {"command": "predict", "exported": args.checkpoint, "images": len(images)},
+        )
+        results = exported.predict_batch(images)
+        rows = [{"image": img, "prediction": latex} for img, latex in zip(images, results)]
+        if args.output:
+            os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
+            with open(args.output, "w") as f:
+                json.dump({"predictions": rows}, f, indent=2)
+            print(f"Wrote {len(rows)} predictions to {args.output}")
+        elif len(images) == 1:
+            print(results[0])
+        else:
+            for row in rows:
+                print(f"{row['image']}\t{row['prediction']}")
+        return 0
     predictor = Predictor.from_checkpoint(
         args.checkpoint, batch_size=args.batch_size,
         config_overrides=_parse_overrides(args),
@@ -192,6 +228,50 @@ def cmd_predict(args: argparse.Namespace) -> int:
     else:
         for row in rows:
             print(f"{row['image']}\t{row['prediction']}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# export
+# ---------------------------------------------------------------------------
+
+
+def cmd_export(args: argparse.Namespace) -> int:
+    from img2latex_tpu.export import export_checkpoint
+
+    try:
+        batch_sizes = [int(b) for b in args.batch_sizes.split(",") if b.strip()]
+    except ValueError:
+        raise SystemExit(f"--batch-sizes must be a comma list of ints, got {args.batch_sizes!r}")
+    platforms = (
+        [p.strip() for p in args.platforms.split(",") if p.strip()]
+        if args.platforms
+        else None
+    )
+    log_execution_params(
+        logger,
+        {"command": "export", "checkpoint": args.checkpoint, "output": args.output,
+         "batch_sizes": batch_sizes, "platforms": platforms},
+    )
+    manifest = export_checkpoint(
+        args.checkpoint,
+        args.output,
+        batch_sizes=batch_sizes,
+        beam_size=args.beam_size,
+        max_length=args.max_length,
+        temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        length_penalty=args.length_penalty,
+        selective_beam_frac=args.selective_beam_frac,
+        platforms=platforms,
+        config_overrides=_parse_overrides(args),
+    )
+    print(
+        f"Exported {args.checkpoint} -> {args.output} "
+        f"(batches {manifest['batch_sizes']}, platforms {manifest['platforms']}, "
+        f"beam {manifest['decode']['beam_size']})"
+    )
     return 0
 
 
@@ -260,6 +340,7 @@ def cmd_serve(args: argparse.Namespace) -> int:
         batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms,
         config_overrides=_parse_overrides(args),
+        exported=getattr(args, "exported", False),
     )
     return 0
 
@@ -389,7 +470,34 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                     help="Dotted override applied to the checkpoint's config, "
                          "e.g. hardware.int8_encoder=true")
+    pr.add_argument("--exported", action="store_true",
+                    help="CHECKPOINT is an `img2latex-tpu export` artifact "
+                         "directory (decode settings are baked in)")
     pr.set_defaults(func=cmd_predict)
+
+    # export
+    ex = sub.add_parser(
+        "export",
+        help="Serialize a checkpoint's decode path to a portable StableHLO "
+             "serving artifact (weights baked in; no model code needed to run)",
+    )
+    ex.add_argument("checkpoint")
+    ex.add_argument("output", help="Artifact directory to create")
+    ex.add_argument("--batch-sizes", default="1,16",
+                    help="Comma list of exported batch sizes (default 1,16)")
+    ex.add_argument("--beam-size", type=int, default=None)
+    ex.add_argument("--max-length", type=int, default=None)
+    ex.add_argument("--temperature", type=float, default=None)
+    ex.add_argument("--top-k", type=int, default=None)
+    ex.add_argument("--top-p", type=float, default=None)
+    ex.add_argument("--length-penalty", type=float, default=None)
+    ex.add_argument("--selective-beam-frac", type=float, default=None)
+    ex.add_argument("--platforms", default=None,
+                    help='Comma list of target platforms, e.g. "tpu,cpu" '
+                         "(default: current backend only)")
+    ex.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="Dotted override applied before export")
+    ex.set_defaults(func=cmd_export)
 
     # evaluate
     ev = sub.add_parser("evaluate", help="Evaluate a checkpoint on a dataset split")
@@ -430,6 +538,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                     help="Dotted override applied to the checkpoint's config, "
                          "e.g. inference.early_exit=true")
+    sv.add_argument("--exported", action="store_true",
+                    help="CHECKPOINT is an `img2latex-tpu export` artifact "
+                         "directory — serve it without loading model code")
     sv.set_defaults(func=cmd_serve)
 
     vz = sub.add_parser("visualize", help="Visualize experiment metrics")

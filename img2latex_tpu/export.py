@@ -1,0 +1,291 @@
+"""Serialized serving artifacts: ``jax.export`` the end-to-end decode.
+
+Deployment capability beyond the reference (its ``Predictor`` needs the whole
+Python package + a torch checkpoint at serving time, reference
+``img2latex/training/predictor.py:20-137``): serialize the compiled decode
+path — uint8 canvas batch -> token ids — to portable StableHLO with the
+weights baked in as constants.  A serving host then needs only JAX and the
+tokenizer config embedded in the manifest (no flax, no model code, no
+checkpoint) to run inference, and the artifact is immune to model-code drift.
+
+Layout of an export directory::
+
+    manifest.json            # shapes, decode config, tokenizer, platforms
+    decode_b{B}.jaxexport    # one serialized Exported per batch size
+
+The exported function is the pure-XLA scan path (``Predictor._decode_fn``
+with every Pallas fast path and the mesh forced off): plain StableHLO, so one
+artifact can target several platforms (``platforms=("tpu", "cpu")``).  The
+Pallas kernels lower to Mosaic custom-calls whose serialization is not
+stability-guaranteed across compiler versions — wrong trade for an artifact
+whose point is surviving environment changes; on-TPU serving that wants the
+kernels should load the checkpoint with ``Predictor`` instead.
+
+Signature of every exported entry: ``(images_u8 (B,H,W,C), rng uint32[2])``
+-> ``tokens int32 (B, max_length+1)``; greedy/beam ignore ``rng``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from img2latex_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+MANIFEST_NAME = "manifest.json"
+MANIFEST_VERSION = 1
+
+# DecodeConfig fields that ride through the manifest verbatim.
+_DCFG_FIELDS = (
+    "max_length",
+    "start_id",
+    "end_id",
+    "pad_id",
+    "temperature",
+    "top_k",
+    "top_p",
+    "beam_size",
+    "length_penalty",
+    "selective_beam_frac",
+    "early_exit",
+)
+
+
+def _artifact_name(batch: int) -> str:
+    return f"decode_b{batch}.jaxexport"
+
+
+def export_checkpoint(
+    checkpoint_path: str,
+    out_dir: str,
+    batch_sizes: Sequence[int] = (1, 16),
+    beam_size: Optional[int] = None,
+    max_length: Optional[int] = None,
+    temperature: Optional[float] = None,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+    length_penalty: Optional[float] = None,
+    selective_beam_frac: Optional[float] = None,
+    platforms: Optional[Sequence[str]] = None,
+    config_overrides: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
+    """Export a trained checkpoint's decode path to ``out_dir``.
+
+    One serialized executable per entry in ``batch_sizes``; decode knobs
+    default to the checkpoint's ``inference`` config exactly like
+    ``Predictor.predict_batch``.  ``platforms=None`` targets the current
+    backend only; pass e.g. ``("tpu", "cpu")`` for a multi-platform artifact.
+    Returns the manifest dict (also written to ``manifest.json``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from img2latex_tpu.decoding.decode import DecodeConfig
+    from img2latex_tpu.training.predictor import Predictor
+
+    overrides: Dict[str, Any] = {
+        # Pure-XLA, single-device program (see module docstring).
+        "hardware.use_pallas_decode": False,
+        "hardware.pallas_chain": False,
+        "hardware.int8_encoder": False,
+        "hardware.use_mesh": False,
+    }
+    if config_overrides:
+        overrides.update(config_overrides)
+    pred = Predictor.from_checkpoint(
+        checkpoint_path, use_pallas_conv1=False, config_overrides=overrides
+    )
+    icfg = pred.cfg.inference
+    dcfg = DecodeConfig(
+        max_length=max_length if max_length is not None else icfg.max_length,
+        start_id=pred.tokenizer.start_token_id,
+        end_id=pred.tokenizer.end_token_id,
+        pad_id=pred.tokenizer.pad_token_id,
+        temperature=temperature if temperature is not None else icfg.temperature,
+        top_k=top_k if top_k is not None else icfg.top_k,
+        top_p=top_p if top_p is not None else icfg.top_p,
+        beam_size=beam_size if beam_size is not None else icfg.beam_size,
+        length_penalty=(
+            length_penalty if length_penalty is not None else icfg.length_penalty
+        ),
+        selective_beam_frac=(
+            selective_beam_frac
+            if selective_beam_frac is not None
+            else getattr(icfg, "selective_beam_frac", 0.0)
+        ),
+        # The fixed-length scan exports everywhere; the while_loop variant
+        # would too, but a serving artifact should not make its step count
+        # depend on the weights' behavior.
+        early_exit=False,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    h, w, c = pred.cfg.image_shape
+    batch_sizes = sorted(set(int(b) for b in batch_sizes))
+    if not batch_sizes or batch_sizes[0] < 1:
+        raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
+    plats = list(platforms) if platforms else None
+    for B in batch_sizes:
+        run = pred._decode_fn(B, dcfg)
+        exp = jax.export.export(run, platforms=plats)(
+            jax.ShapeDtypeStruct((B, h, w, c), jnp.uint8),
+            jax.ShapeDtypeStruct((2,), jnp.uint32),
+        )
+        blob = exp.serialize()
+        path = os.path.join(out_dir, _artifact_name(B))
+        with open(path, "wb") as f:
+            f.write(blob)
+        logger.info(
+            "Exported batch-%d decode (%s, %.1f MB) -> %s",
+            B,
+            ",".join(exp.platforms),
+            len(blob) / 1e6,
+            path,
+        )
+
+    manifest: Dict[str, Any] = {
+        "version": MANIFEST_VERSION,
+        "jax_version": jax.__version__,
+        "image_shape": [h, w, c],
+        "pad_value": int(pred.cfg.preprocessing.pad_value),
+        "batch_sizes": batch_sizes,
+        "platforms": plats or [jax.default_backend()],
+        "decode": {k: getattr(dcfg, k) for k in _DCFG_FIELDS},
+        "vocab_size": pred.tokenizer.vocab_size,
+        "tokenizer_config": pred.tokenizer.to_config(),
+        "model_name": pred.cfg.model.name,
+        "artifacts": {str(b): _artifact_name(b) for b in batch_sizes},
+    }
+    with open(os.path.join(out_dir, MANIFEST_NAME), "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+class ExportedPredictor:
+    """Run a directory produced by :func:`export_checkpoint`.
+
+    Mirrors ``Predictor.predict_batch``'s contract (chunking, zero-padded
+    final chunk, END/PAD trim, string decode) without importing any model
+    code — only the data/transform helpers and the serialized executables.
+    """
+
+    def __init__(self, manifest: Dict[str, Any], directory: str):
+        from img2latex_tpu.data.tokenizer import LaTeXTokenizer
+
+        self.manifest = manifest
+        self.directory = directory
+        self.tokenizer = LaTeXTokenizer.from_config(manifest["tokenizer_config"])
+        self.batch_sizes: List[int] = sorted(int(b) for b in manifest["batch_sizes"])
+        # Drop-in for serving.InferenceServer, which reads predictor.batch_size
+        # as its default coalesce width.
+        self.batch_size: int = self.batch_sizes[-1]
+        self._calls: Dict[int, Any] = {}
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def load(cls, directory: str) -> "ExportedPredictor":
+        with open(os.path.join(directory, MANIFEST_NAME), encoding="utf-8") as f:
+            manifest = json.load(f)
+        if manifest.get("version") != MANIFEST_VERSION:
+            raise ValueError(
+                f"Unsupported export manifest version {manifest.get('version')!r} "
+                f"(this build reads {MANIFEST_VERSION})"
+            )
+        return cls(manifest, directory)
+
+    # ------------------------------------------------------------------
+    def _call(self, batch: int):
+        """Deserialize (once) and jit the batch-``batch`` executable."""
+        if batch not in self._calls:
+            import jax
+
+            path = os.path.join(self.directory, self.manifest["artifacts"][str(batch)])
+            with open(path, "rb") as f:
+                exp = jax.export.deserialize(f.read())
+            self._calls[batch] = jax.jit(exp.call)
+        return self._calls[batch]
+
+    def _pick_batch(self, n: int, cap: Optional[int] = None) -> int:
+        """Smallest exported batch that fits ``n``, else the largest;
+        ``cap`` (when some exported size satisfies it) bounds the choice."""
+        sizes = self.batch_sizes
+        if cap is not None:
+            capped = [b for b in sizes if b <= cap]
+            if capped:
+                sizes = capped
+        for b in sizes:
+            if b >= n:
+                return b
+        return sizes[-1]
+
+    def _prepare_image(self, image: Any) -> np.ndarray:
+        from img2latex_tpu.data.transforms import array_to_canvas_u8, load_image_u8
+
+        h, w, c = self.manifest["image_shape"]
+        pad = self.manifest["pad_value"]
+        if isinstance(image, str):
+            return load_image_u8(image, (h, w), c, pad)
+        arr = np.asarray(image)
+        if arr.dtype != np.uint8:
+            a = arr.astype(np.float32)
+            if a.min() < 0:
+                a = (a + 1.0) / 2.0
+            arr = np.clip(a * 255.0, 0, 255).astype(np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.shape[2] == 1 and c == 3:
+            arr = np.repeat(arr, 3, axis=2)
+        if arr.shape[2] == 3 and c == 1:
+            arr = arr.mean(axis=2, keepdims=True).astype(np.uint8)
+        if arr.shape[:2] != (h, w):
+            arr = array_to_canvas_u8(arr, h, w, pad)
+        return arr
+
+    # ------------------------------------------------------------------
+    def predict_batch(
+        self,
+        images: Sequence[Any],
+        seed: int = 0,
+        return_ids: bool = False,
+        batch_size: Optional[int] = None,
+    ) -> List[Any]:
+        import jax
+        import jax.numpy as jnp
+
+        from img2latex_tpu.decoding.decode import trim_host
+
+        h, w, c = self.manifest["image_shape"]
+        tok = self.tokenizer
+        # Same key schedule as Predictor.predict_batch so a sampling export
+        # reproduces the live path token-for-token at equal chunking.
+        rng = jax.random.PRNGKey(seed)
+        results: List[Any] = []
+        i = 0
+        while i < len(images):
+            B = self._pick_batch(len(images) - i, cap=batch_size)
+            chunk = images[i : i + B]
+            i += len(chunk)
+            buf = np.zeros((B, h, w, c), dtype=np.uint8)
+            for j, img in enumerate(chunk):
+                buf[j] = self._prepare_image(img)
+            rng, sub = jax.random.split(rng)
+            tokens = self._call(B)(jnp.asarray(buf), sub)
+            id_lists = trim_host(
+                np.asarray(tokens)[: len(chunk)],
+                tok.end_token_id,
+                tok.pad_token_id,
+                start_id=tok.start_token_id,
+            )
+            if return_ids:
+                results.extend(id_lists)
+            else:
+                results.extend(tok.decode(ids) for ids in id_lists)
+        return results
+
+    def predict(self, image: Any, **kwargs) -> Any:
+        return self.predict_batch([image], **kwargs)[0]

@@ -184,14 +184,25 @@ def serve(
     batch_size: Optional[int] = None,
     max_wait_ms: float = 5.0,
     config_overrides: Optional[dict] = None,
+    exported: bool = False,
 ) -> None:
     """Blocking entry point: checkpoint -> Predictor -> InferenceServer ->
-    HTTP."""
-    from img2latex_tpu.training.predictor import Predictor
+    HTTP.  With ``exported=True``, ``checkpoint`` is an ``img2latex-tpu
+    export`` artifact directory — served without loading any model code
+    (decode settings are baked in, so per-request tuning query params are
+    rejected by the artifact)."""
+    if exported:
+        if config_overrides:
+            raise ValueError("--set does not apply to exported artifacts; re-export")
+        from img2latex_tpu.export import ExportedPredictor
 
-    predictor = Predictor.from_checkpoint(
-        checkpoint, batch_size=batch_size or 16, config_overrides=config_overrides
-    )
+        predictor = ExportedPredictor.load(checkpoint)
+    else:
+        from img2latex_tpu.training.predictor import Predictor
+
+        predictor = Predictor.from_checkpoint(
+            checkpoint, batch_size=batch_size or 16, config_overrides=config_overrides
+        )
     with InferenceServer(predictor, max_wait_ms=max_wait_ms) as inference:
         httpd = make_http_server(inference, host, port)
         bound_port = httpd.server_address[1]

@@ -1,0 +1,193 @@
+"""jax.export serving artifacts: roundtrip, parity with the live Predictor,
+chunking, and the CLI surface."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from img2latex_tpu.export import ExportedPredictor, export_checkpoint
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Tiny trained checkpoint + its Predictor + test images (same recipe as
+    the serving tests)."""
+    from img2latex_tpu.config import Config
+    from img2latex_tpu.data.pipeline import create_data_loaders, read_formulas
+    from img2latex_tpu.data.synthetic import write_synthetic_corpus
+    from img2latex_tpu.data.tokenizer import LaTeXTokenizer
+    from img2latex_tpu.training.predictor import Predictor
+    from img2latex_tpu.training.trainer import Trainer
+    from img2latex_tpu.utils.paths import PathManager
+
+    root = tmp_path_factory.mktemp("exportcorpus")
+    corpus = write_synthetic_corpus(str(root / "data"), n_train=16, n_val=4, n_test=4, seed=11)
+    cfg = Config()
+    cfg.data.data_dir = corpus
+    cfg.data.batch_size = 8
+    cfg.data.max_seq_length = 12
+    cfg.model.embedding_dim = 24
+    cfg.model.decoder.hidden_dim = 24
+    cfg.model.decoder.lstm_layers = 1
+    cfg.model.decoder.dropout = 0.0
+    cfg.model.encoder.cnn.img_height = 32
+    cfg.model.encoder.cnn.img_width = 64
+    cfg.model.encoder.cnn.conv_filters = [4]
+    cfg.training.epochs = 1
+    cfg.inference.max_length = 11
+    cfg.hardware.compute_dtype = "float32"
+    tok = LaTeXTokenizer(max_sequence_length=12)
+    tok.fit(read_formulas(os.path.join(corpus, "im2latex_formulas.norm.lst")))
+    paths = PathManager(str(root))
+    paths.outputs_dir.mkdir(parents=True, exist_ok=True)
+    Trainer(cfg, tok, create_data_loaders(cfg, tok), paths=paths, experiment_name="exp").train()
+    ckpt = str(paths.get_dir("exp", "checkpoints"))
+    pred = Predictor.from_checkpoint(
+        ckpt, batch_size=4,
+        use_pallas_conv1=False,
+        config_overrides={"hardware.use_pallas_decode": False, "hardware.use_mesh": False},
+    )
+    imgs = sorted(str(p) for p in (root / "data" / "img").iterdir())
+    return ckpt, pred, imgs
+
+
+class TestExportRoundtrip:
+    def test_greedy_parity_and_manifest(self, trained, tmp_path):
+        ckpt, pred, imgs = trained
+        out = tmp_path / "art"
+        manifest = export_checkpoint(ckpt, str(out), batch_sizes=(2, 4))
+        assert (out / "manifest.json").exists()
+        assert (out / "decode_b2.jaxexport").exists()
+        assert (out / "decode_b4.jaxexport").exists()
+        assert manifest["decode"]["beam_size"] == 0
+        assert manifest["vocab_size"] == pred.tokenizer.vocab_size
+        # Manifest is valid JSON on disk and matches the returned dict.
+        on_disk = json.loads((out / "manifest.json").read_text())
+        assert on_disk == json.loads(json.dumps(manifest))
+
+        exported = ExportedPredictor.load(str(out))
+        live = pred.predict_batch(imgs, batch_size=4)
+        art = exported.predict_batch(imgs)
+        assert art == live
+        assert all(isinstance(s, str) for s in art)
+
+    def test_chunking_padding_and_batch_pick(self, trained, tmp_path):
+        ckpt, pred, imgs = trained
+        out = tmp_path / "art"
+        export_checkpoint(ckpt, str(out), batch_sizes=(2, 4))
+        exported = ExportedPredictor.load(str(out))
+        # 3 images: picks the 4-batch (smallest >= 3) and zero-pads row 4.
+        assert exported._pick_batch(3) == 4
+        assert exported._pick_batch(5) == 4  # larger than any export: chunk
+        three = exported.predict_batch(imgs[:3], return_ids=True)
+        allofit = exported.predict_batch(imgs, return_ids=True)
+        assert three == allofit[:3]
+        # Single predict == first row of batch predict.
+        assert exported.predict(imgs[0]) == exported.predict_batch(imgs[:1])[0]
+
+    def test_beam_parity(self, trained, tmp_path):
+        ckpt, pred, imgs = trained
+        out = tmp_path / "beam"
+        export_checkpoint(ckpt, str(out), batch_sizes=(4,), beam_size=3, length_penalty=1.0)
+        exported = ExportedPredictor.load(str(out))
+        live = pred.predict_batch(imgs, batch_size=4, beam_size=3, length_penalty=1.0)
+        assert exported.predict_batch(imgs) == live
+
+    def test_sampling_seed_parity(self, trained, tmp_path):
+        ckpt, pred, imgs = trained
+        out = tmp_path / "samp"
+        export_checkpoint(ckpt, str(out), batch_sizes=(4,), top_k=5, temperature=0.8)
+        exported = ExportedPredictor.load(str(out))
+        # Identical seed + identical chunking => identical token draws.
+        live = pred.predict_batch(imgs[:4], batch_size=4, top_k=5, temperature=0.8, seed=7)
+        art = exported.predict_batch(imgs[:4], seed=7)
+        assert art == live
+        # A different seed changes at least one sampled sequence (tiny
+        # 1-epoch model: distributions are near-uniform).
+        art2 = exported.predict_batch(imgs[:4], seed=8)
+        assert isinstance(art2, list) and len(art2) == 4
+
+    def test_numpy_input_and_manifest_version_guard(self, trained, tmp_path):
+        ckpt, pred, imgs = trained
+        out = tmp_path / "art"
+        export_checkpoint(ckpt, str(out), batch_sizes=(2,))
+        exported = ExportedPredictor.load(str(out))
+        arr = np.asarray(
+            __import__("PIL.Image", fromlist=["Image"]).open(imgs[0]).convert("L")
+        )
+        r = exported.predict(arr)
+        assert isinstance(r, str)
+        # Version guard.
+        m = json.loads((out / "manifest.json").read_text())
+        m["version"] = 999
+        (out / "manifest.json").write_text(json.dumps(m))
+        with pytest.raises(ValueError, match="manifest version"):
+            ExportedPredictor.load(str(out))
+
+    def test_multi_platform_artifact(self, trained, tmp_path):
+        # One artifact lowered for BOTH tpu and cpu (pure-StableHLO scan
+        # path): exports from the CPU test env and still runs here.
+        ckpt, _, imgs = trained
+        out = tmp_path / "mp"
+        m = export_checkpoint(ckpt, str(out), batch_sizes=(2,), platforms=("tpu", "cpu"))
+        assert m["platforms"] == ["tpu", "cpu"]
+        exported = ExportedPredictor.load(str(out))
+        assert isinstance(exported.predict(imgs[0]), str)
+
+    def test_bad_batch_sizes_rejected(self, trained, tmp_path):
+        ckpt, _, _ = trained
+        with pytest.raises(ValueError, match="batch_sizes"):
+            export_checkpoint(ckpt, str(tmp_path / "x"), batch_sizes=(0,))
+
+
+class TestExportServing:
+    def test_inference_server_over_artifact(self, trained, tmp_path):
+        """The dynamic-batching server accepts an ExportedPredictor drop-in:
+        the full serve path runs with zero model code loaded."""
+        from img2latex_tpu.serving import InferenceServer
+
+        ckpt, pred, imgs = trained
+        out = tmp_path / "srvart"
+        export_checkpoint(ckpt, str(out), batch_sizes=(2, 4))
+        exported = ExportedPredictor.load(str(out))
+        assert exported.batch_size == 4
+        with InferenceServer(exported, max_wait_ms=20) as srv:
+            results = srv.predict_many(imgs[:6], timeout=120)
+        assert results == pred.predict_batch(imgs[:6], batch_size=4)
+        assert srv.stats.requests == 6
+
+    def test_serve_exported_rejects_overrides(self, trained, tmp_path):
+        from img2latex_tpu.serving_http import serve
+
+        ckpt, _, _ = trained
+        out = tmp_path / "srvart2"
+        export_checkpoint(ckpt, str(out), batch_sizes=(2,))
+        with pytest.raises(ValueError, match="re-export"):
+            serve(str(out), exported=True, config_overrides={"a.b": 1})
+
+
+class TestExportCLI:
+    def test_export_then_predict_exported(self, trained, tmp_path, capsys):
+        from img2latex_tpu.cli import main
+
+        ckpt, pred, imgs = trained
+        out = tmp_path / "cliart"
+        rc = main(["export", ckpt, str(out), "--batch-sizes", "2"])
+        assert rc == 0
+        assert (out / "manifest.json").exists()
+        capsys.readouterr()
+        rc = main(["predict", "--exported", str(out), imgs[0]])
+        assert rc == 0
+        printed = capsys.readouterr().out.strip()
+        assert printed == pred.predict_batch([imgs[0]], batch_size=4)[0]
+
+    def test_exported_rejects_baked_flags(self, trained, tmp_path):
+        from img2latex_tpu.cli import main
+
+        ckpt, _, imgs = trained
+        out = tmp_path / "cliart2"
+        assert main(["export", ckpt, str(out), "--batch-sizes", "2"]) == 0
+        with pytest.raises(SystemExit, match="bake"):
+            main(["predict", "--exported", str(out), imgs[0], "--beam-size", "3"])
