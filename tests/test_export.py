@@ -142,6 +142,56 @@ class TestExportRoundtrip:
             export_checkpoint(ckpt, str(tmp_path / "x"), batch_sizes=(0,))
 
 
+class TestExportGridMemory:
+    def test_grid_flagship_exports(self, tmp_path):
+        """The grid-memory (real additive attention) flagship configuration —
+        the quality-bearing family in PARITY.md — exports and matches the
+        live scan path."""
+        import os
+
+        from img2latex_tpu.config import Config
+        from img2latex_tpu.data.pipeline import create_data_loaders, read_formulas
+        from img2latex_tpu.data.synthetic import write_synthetic_corpus
+        from img2latex_tpu.data.tokenizer import LaTeXTokenizer
+        from img2latex_tpu.training.predictor import Predictor
+        from img2latex_tpu.training.trainer import Trainer
+        from img2latex_tpu.utils.paths import PathManager
+
+        root = tmp_path
+        corpus = write_synthetic_corpus(str(root / "data"), n_train=16, n_val=4, n_test=4, seed=12)
+        cfg = Config()
+        cfg.data.data_dir = corpus
+        cfg.data.batch_size = 8
+        cfg.data.max_seq_length = 12
+        cfg.model.memory = "grid"
+        cfg.model.embedding_dim = 24
+        cfg.model.decoder.hidden_dim = 24
+        cfg.model.decoder.lstm_layers = 1
+        cfg.model.decoder.dropout = 0.0
+        cfg.model.encoder.cnn.img_height = 32
+        cfg.model.encoder.cnn.img_width = 64
+        cfg.model.encoder.cnn.conv_filters = [4]
+        cfg.training.epochs = 1
+        cfg.inference.max_length = 11
+        cfg.hardware.compute_dtype = "float32"
+        tok = LaTeXTokenizer(max_sequence_length=12)
+        tok.fit(read_formulas(os.path.join(corpus, "im2latex_formulas.norm.lst")))
+        paths = PathManager(str(root))
+        paths.outputs_dir.mkdir(parents=True, exist_ok=True)
+        Trainer(cfg, tok, create_data_loaders(cfg, tok), paths=paths, experiment_name="g").train()
+        ckpt = str(paths.get_dir("g", "checkpoints"))
+        out = root / "art"
+        m = export_checkpoint(ckpt, str(out), batch_sizes=(4,), beam_size=2)
+        assert m["decode"]["beam_size"] == 2
+        pred = Predictor.from_checkpoint(
+            ckpt, batch_size=4, use_pallas_conv1=False,
+            config_overrides={"hardware.use_pallas_decode": False, "hardware.use_mesh": False},
+        )
+        imgs = sorted(str(p) for p in (root / "data" / "img").iterdir())[:4]
+        exported = ExportedPredictor.load(str(out))
+        assert exported.predict_batch(imgs) == pred.predict_batch(imgs, batch_size=4, beam_size=2)
+
+
 class TestExportServing:
     def test_inference_server_over_artifact(self, trained, tmp_path):
         """The dynamic-batching server accepts an ExportedPredictor drop-in:
