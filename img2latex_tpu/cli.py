@@ -266,10 +266,12 @@ def cmd_export(args: argparse.Namespace) -> int:
         selective_beam_frac=args.selective_beam_frac,
         platforms=platforms,
         config_overrides=_parse_overrides(args),
+        symbolic_batch=args.symbolic_batch,
     )
+    batches = "any (symbolic)" if manifest["symbolic_batch"] else manifest["batch_sizes"]
     print(
         f"Exported {args.checkpoint} -> {args.output} "
-        f"(batches {manifest['batch_sizes']}, platforms {manifest['platforms']}, "
+        f"(batches {batches}, platforms {manifest['platforms']}, "
         f"beam {manifest['decode']['beam_size']})"
     )
     return 0
@@ -495,6 +497,10 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--platforms", default=None,
                     help='Comma list of target platforms, e.g. "tpu,cpu" '
                          "(default: current backend only)")
+    ex.add_argument("--symbolic-batch", action="store_true",
+                    help="One batch-polymorphic executable (any batch size, "
+                         "no padding) instead of one per --batch-sizes entry; "
+                         "compiles per distinct batch at serving time")
     ex.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                     help="Dotted override applied before export")
     ex.set_defaults(func=cmd_export)

@@ -60,6 +60,68 @@ def _artifact_name(batch: int) -> str:
     return f"decode_b{batch}.jaxexport"
 
 
+_DYN_KEY = "dyn"
+_DYN_NAME = "decode_bdyn.jaxexport"
+
+
+def _build_symbolic_decode(pred, dcfg):
+    """Batch-polymorphic end-to-end decode for ``jax.export``: derives B from
+    ``images_u8.shape[0]`` (a symbolic dim at export time) instead of the
+    static ``batch`` that ``Predictor._decode_fn`` closes over.  Scan-path
+    only — mirrors ``predictor.run_impl`` minus selective beam (its bottom-k
+    row count would need a value-dependent shape)."""
+    import jax.numpy as jnp
+
+    from img2latex_tpu.decoding.decode import beam_decode, greedy_sample_decode
+    from img2latex_tpu.models.seq2seq import Seq2SeqModel
+    from img2latex_tpu.ops.preprocess import normalize_images
+
+    model = pred.model
+    variables = pred._variables()
+    mean = tuple(pred.cfg.preprocessing.normalization_mean)
+    std = tuple(pred.cfg.preprocessing.normalization_std)
+    layers = pred.cfg.model.decoder.lstm_layers
+    hidden = pred.cfg.model.decoder.hidden_dim
+    dtype = jnp.dtype(pred.cfg.hardware.compute_dtype)
+
+    def run(images_u8, rng):
+        B = images_u8.shape[0]
+        x = normalize_images(images_u8, mean, std)
+        memory = model.apply(variables, x, method=Seq2SeqModel.encode)
+        mem_proj = model.apply(variables, memory, method=Seq2SeqModel.memory_proj)
+        if dcfg.beam_size > 0:
+            K = dcfg.beam_size
+            mem_exp = jnp.repeat(memory, K, axis=0)
+            proj_exp = None if mem_proj is None else jnp.repeat(mem_proj, K, axis=0)
+
+            def b_step(tokens, carry):
+                return model.apply(
+                    variables, mem_exp, tokens, carry, proj_exp,
+                    method=Seq2SeqModel.decode_step,
+                )
+
+            carry0 = (
+                jnp.zeros((layers, B * K, hidden), dtype),
+                jnp.zeros((layers, B * K, hidden), dtype),
+            )
+            tokens, _ = beam_decode(b_step, carry0, B, K, dcfg)
+            return tokens
+
+        def step_fn(tokens, carry):
+            return model.apply(
+                variables, memory, tokens, carry, mem_proj,
+                method=Seq2SeqModel.decode_step,
+            )
+
+        carry0 = (
+            jnp.zeros((layers, B, hidden), dtype),
+            jnp.zeros((layers, B, hidden), dtype),
+        )
+        return greedy_sample_decode(step_fn, carry0, B, dcfg, rng=rng)
+
+    return run
+
+
 def export_checkpoint(
     checkpoint_path: str,
     out_dir: str,
@@ -73,6 +135,7 @@ def export_checkpoint(
     selective_beam_frac: Optional[float] = None,
     platforms: Optional[Sequence[str]] = None,
     config_overrides: Optional[Dict[str, Any]] = None,
+    symbolic_batch: bool = False,
 ) -> Dict[str, Any]:
     """Export a trained checkpoint's decode path to ``out_dir``.
 
@@ -81,6 +144,13 @@ def export_checkpoint(
     ``Predictor.predict_batch``.  ``platforms=None`` targets the current
     backend only; pass e.g. ``("tpu", "cpu")`` for a multi-platform artifact.
     Returns the manifest dict (also written to ``manifest.json``).
+
+    ``symbolic_batch=True`` exports ONE batch-polymorphic executable instead
+    (``jax.export.symbolic_shape``): the artifact accepts any batch size with
+    no padding waste, at the cost of one XLA compile per distinct batch seen
+    at serving time (``batch_sizes[-1]`` is kept as the server coalesce
+    default).  Selective beam is excluded there — its bottom-k row count is a
+    value-dependent shape.
     """
     import jax
     import jax.numpy as jnp
@@ -130,23 +200,45 @@ def export_checkpoint(
     if not batch_sizes or batch_sizes[0] < 1:
         raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
     plats = list(platforms) if platforms else None
-    for B in batch_sizes:
-        run = pred._decode_fn(B, dcfg)
+    if symbolic_batch:
+        if 0.0 < dcfg.selective_beam_frac < 1.0:
+            raise ValueError(
+                "symbolic_batch is incompatible with selective_beam_frac "
+                "(value-dependent beam subset shape); export fixed batch sizes"
+            )
+        (b,) = jax.export.symbolic_shape("b")
+        run = jax.jit(_build_symbolic_decode(pred, dcfg))
         exp = jax.export.export(run, platforms=plats)(
-            jax.ShapeDtypeStruct((B, h, w, c), jnp.uint8),
+            jax.ShapeDtypeStruct((b, h, w, c), jnp.uint8),
             jax.ShapeDtypeStruct((2,), jnp.uint32),
         )
         blob = exp.serialize()
-        path = os.path.join(out_dir, _artifact_name(B))
-        with open(path, "wb") as f:
+        with open(os.path.join(out_dir, _DYN_NAME), "wb") as f:
             f.write(blob)
         logger.info(
-            "Exported batch-%d decode (%s, %.1f MB) -> %s",
-            B,
+            "Exported batch-polymorphic decode (%s, %.1f MB) -> %s",
             ",".join(exp.platforms),
             len(blob) / 1e6,
-            path,
+            os.path.join(out_dir, _DYN_NAME),
         )
+    else:
+        for B in batch_sizes:
+            run = pred._decode_fn(B, dcfg)
+            exp = jax.export.export(run, platforms=plats)(
+                jax.ShapeDtypeStruct((B, h, w, c), jnp.uint8),
+                jax.ShapeDtypeStruct((2,), jnp.uint32),
+            )
+            blob = exp.serialize()
+            path = os.path.join(out_dir, _artifact_name(B))
+            with open(path, "wb") as f:
+                f.write(blob)
+            logger.info(
+                "Exported batch-%d decode (%s, %.1f MB) -> %s",
+                B,
+                ",".join(exp.platforms),
+                len(blob) / 1e6,
+                path,
+            )
 
     manifest: Dict[str, Any] = {
         "version": MANIFEST_VERSION,
@@ -159,7 +251,12 @@ def export_checkpoint(
         "vocab_size": pred.tokenizer.vocab_size,
         "tokenizer_config": pred.tokenizer.to_config(),
         "model_name": pred.cfg.model.name,
-        "artifacts": {str(b): _artifact_name(b) for b in batch_sizes},
+        "symbolic_batch": bool(symbolic_batch),
+        "artifacts": (
+            {_DYN_KEY: _DYN_NAME}
+            if symbolic_batch
+            else {str(b): _artifact_name(b) for b in batch_sizes}
+        ),
     }
     with open(os.path.join(out_dir, MANIFEST_NAME), "w", encoding="utf-8") as f:
         json.dump(manifest, f, indent=2)
@@ -180,11 +277,12 @@ class ExportedPredictor:
         self.manifest = manifest
         self.directory = directory
         self.tokenizer = LaTeXTokenizer.from_config(manifest["tokenizer_config"])
+        self.symbolic: bool = bool(manifest.get("symbolic_batch", False))
         self.batch_sizes: List[int] = sorted(int(b) for b in manifest["batch_sizes"])
         # Drop-in for serving.InferenceServer, which reads predictor.batch_size
         # as its default coalesce width.
         self.batch_size: int = self.batch_sizes[-1]
-        self._calls: Dict[int, Any] = {}
+        self._calls: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
     @classmethod
@@ -200,15 +298,18 @@ class ExportedPredictor:
 
     # ------------------------------------------------------------------
     def _call(self, batch: int):
-        """Deserialize (once) and jit the batch-``batch`` executable."""
-        if batch not in self._calls:
+        """Deserialize (once) and jit the batch-``batch`` executable; a
+        symbolic-batch artifact has one executable for every batch (jit
+        compiles per distinct shape on first use)."""
+        key: Any = _DYN_KEY if self.symbolic else batch
+        if key not in self._calls:
             import jax
 
-            path = os.path.join(self.directory, self.manifest["artifacts"][str(batch)])
+            path = os.path.join(self.directory, self.manifest["artifacts"][str(key)])
             with open(path, "rb") as f:
                 exp = jax.export.deserialize(f.read())
-            self._calls[batch] = jax.jit(exp.call)
-        return self._calls[batch]
+            self._calls[key] = jax.jit(exp.call)
+        return self._calls[key]
 
     def _pick_batch(self, n: int, cap: Optional[int] = None) -> int:
         """Smallest exported batch that fits ``n``, else the largest;
@@ -267,7 +368,11 @@ class ExportedPredictor:
         results: List[Any] = []
         i = 0
         while i < len(images):
-            B = self._pick_batch(len(images) - i, cap=batch_size)
+            if self.symbolic:
+                # Padding-free: exact chunk shape, capped to bound memory.
+                B = min(len(images) - i, batch_size or self.batch_size)
+            else:
+                B = self._pick_batch(len(images) - i, cap=batch_size)
             chunk = images[i : i + B]
             i += len(chunk)
             buf = np.zeros((B, h, w, c), dtype=np.uint8)

@@ -142,6 +142,44 @@ class TestExportRoundtrip:
             export_checkpoint(ckpt, str(tmp_path / "x"), batch_sizes=(0,))
 
 
+class TestSymbolicBatch:
+    def test_one_artifact_any_batch(self, trained, tmp_path):
+        """--symbolic-batch: a single batch-polymorphic executable serves
+        every request size with no padding rows."""
+        ckpt, pred, imgs = trained
+        out = tmp_path / "dyn"
+        m = export_checkpoint(ckpt, str(out), batch_sizes=(4,), symbolic_batch=True)
+        assert m["symbolic_batch"] is True
+        assert list(m["artifacts"]) == ["dyn"]
+        assert (out / "decode_bdyn.jaxexport").exists()
+        exported = ExportedPredictor.load(str(out))
+        # Odd request sizes run exactly (greedy is row-independent, so the
+        # live path is the oracle regardless of its own chunking).
+        live = pred.predict_batch(imgs, batch_size=4)
+        assert exported.predict_batch(imgs[:3]) == live[:3]
+        assert exported.predict_batch(imgs, batch_size=5) == live
+        assert exported.predict(imgs[0]) == live[0]
+
+    def test_symbolic_beam(self, trained, tmp_path):
+        ckpt, pred, imgs = trained
+        out = tmp_path / "dynbeam"
+        export_checkpoint(
+            ckpt, str(out), batch_sizes=(4,), beam_size=3, length_penalty=1.0,
+            symbolic_batch=True,
+        )
+        exported = ExportedPredictor.load(str(out))
+        live = pred.predict_batch(imgs[:5], batch_size=4, beam_size=3, length_penalty=1.0)
+        assert exported.predict_batch(imgs[:5]) == live
+
+    def test_symbolic_rejects_selective_beam(self, trained, tmp_path):
+        ckpt, _, _ = trained
+        with pytest.raises(ValueError, match="selective_beam_frac"):
+            export_checkpoint(
+                ckpt, str(tmp_path / "x"), batch_sizes=(4,), beam_size=3,
+                selective_beam_frac=0.2, symbolic_batch=True,
+            )
+
+
 class TestExportGridMemory:
     def test_grid_flagship_exports(self, tmp_path):
         """The grid-memory (real additive attention) flagship configuration —
