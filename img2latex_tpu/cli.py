@@ -184,7 +184,11 @@ def cmd_predict(args: argparse.Namespace) -> int:
             logger,
             {"command": "predict", "exported": args.checkpoint, "images": len(images)},
         )
-        results = exported.predict_batch(images)
+        # --batch-size stays live on the artifact path: it is a runtime
+        # chunk cap (exact chunk shape for --symbolic-batch artifacts,
+        # clamped to the exported sizes for fixed-batch ones), not a baked
+        # decode setting.
+        results = exported.predict_batch(images, batch_size=args.batch_size)
         rows = [{"image": img, "prediction": latex} for img, latex in zip(images, results)]
         if args.output:
             os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)

@@ -116,6 +116,58 @@ def load_image_u8(
         return np.zeros((img_size[0], img_size[1], channels), dtype=np.uint8)
 
 
+def rgb_to_gray_u8(arr: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 -> (H, W, 1) uint8 via the ITU-R 601 luma weights —
+    the same conversion PIL's ``convert('L')`` applies, so array inputs and
+    PIL inputs produce identical grayscale canvases."""
+    a = arr.astype(np.float32)
+    gray = a[..., 0] * 0.299 + a[..., 1] * 0.587 + a[..., 2] * 0.114
+    return np.clip(gray + 0.5, 0, 255).astype(np.uint8)[..., None]
+
+
+def prepare_image_u8(
+    image, target_height: int, target_width: int, channels: int, pad_value: int = 255
+) -> np.ndarray:
+    """Any accepted predictor input -> uint8 (H, W, C) canvas.
+
+    The single input-dispatch used by BOTH the live ``Predictor`` and the
+    serialized-artifact ``ExportedPredictor`` (reference dispatch:
+    ``img2latex/training/predictor.py:396-462``), so the two serving paths
+    preprocess identically.  Accepts: a path string, a PIL image (mode-aware
+    convert), or an array — uint8/float, HW / HWC / CHW, 1 or 3 channels
+    (RGB->gray via ITU-R 601 luma, matching PIL ``convert('L')``).
+    """
+    h, w, c = target_height, target_width, channels
+    if isinstance(image, str):
+        return load_image_u8(image, (h, w), c, pad_value)
+    if isinstance(image, Image.Image):
+        mode = "L" if c == 1 else "RGB"
+        if image.mode != mode:
+            image = image.convert(mode)
+        arr = np.asarray(image, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return array_to_canvas_u8(arr, h, w, pad_value)
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        # float in [0,1] or [-1,1] -> back to uint8 canvas
+        a = arr.astype(np.float32)
+        if a.min() < 0:
+            a = (a + 1.0) / 2.0
+        arr = np.clip(a * 255.0, 0, 255).astype(np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[-1] not in (1, 3):
+        arr = np.transpose(arr, (1, 2, 0))  # CHW -> HWC
+    if arr.shape[2] == 1 and c == 3:
+        arr = np.repeat(arr, 3, axis=2)
+    if arr.shape[2] == 3 and c == 1:
+        arr = rgb_to_gray_u8(arr)
+    if arr.shape[:2] != (h, w):
+        arr = array_to_canvas_u8(arr, h, w, pad_value)
+    return arr
+
+
 def array_to_canvas_u8(
     arr: np.ndarray, target_height: int, target_width: int, pad_value: int = 255
 ) -> np.ndarray:

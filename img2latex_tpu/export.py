@@ -325,27 +325,13 @@ class ExportedPredictor:
         return sizes[-1]
 
     def _prepare_image(self, image: Any) -> np.ndarray:
-        from img2latex_tpu.data.transforms import array_to_canvas_u8, load_image_u8
+        # Shared with the live Predictor (data/transforms.prepare_image_u8) so
+        # the artifact path preprocesses identically: PIL mode-aware convert,
+        # CHW->HWC transpose, ITU-R 601 luma for RGB->gray.
+        from img2latex_tpu.data.transforms import prepare_image_u8
 
         h, w, c = self.manifest["image_shape"]
-        pad = self.manifest["pad_value"]
-        if isinstance(image, str):
-            return load_image_u8(image, (h, w), c, pad)
-        arr = np.asarray(image)
-        if arr.dtype != np.uint8:
-            a = arr.astype(np.float32)
-            if a.min() < 0:
-                a = (a + 1.0) / 2.0
-            arr = np.clip(a * 255.0, 0, 255).astype(np.uint8)
-        if arr.ndim == 2:
-            arr = arr[:, :, None]
-        if arr.shape[2] == 1 and c == 3:
-            arr = np.repeat(arr, 3, axis=2)
-        if arr.shape[2] == 3 and c == 1:
-            arr = arr.mean(axis=2, keepdims=True).astype(np.uint8)
-        if arr.shape[:2] != (h, w):
-            arr = array_to_canvas_u8(arr, h, w, pad)
-        return arr
+        return prepare_image_u8(image, h, w, c, self.manifest["pad_value"])
 
     # ------------------------------------------------------------------
     def predict_batch(

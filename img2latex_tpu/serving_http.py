@@ -71,6 +71,14 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # route through our logger
         logger.debug("http: " + fmt, *args)
 
+    def _options_baked(self) -> bool:
+        """True when the backing predictor cannot take per-request decode
+        options (an ExportedPredictor — its decode config is baked into the
+        serialized artifact)."""
+        from img2latex_tpu.export import ExportedPredictor
+
+        return isinstance(self.inference.predictor, ExportedPredictor)
+
     # ------------------------------------------------------------------
     def _send_json(self, obj: Dict[str, Any], status: int = 200) -> None:
         body = json.dumps(obj).encode()
@@ -109,6 +117,20 @@ class _Handler(BaseHTTPRequestHandler):
         self._response_started = False
         try:
             opts = _decode_options(parsed.query)  # bad numerics -> JSON 400
+            if opts and self._options_baked():
+                # An exported artifact bakes its decode config at export time
+                # — a tuning query param is a client mistake, not a server
+                # fault: answer 400 here instead of letting the unexpected
+                # kwarg TypeError 500 the whole coalesced batch.
+                self._send_json(
+                    {
+                        "error": "decode options are baked into this exported "
+                        "artifact; re-export with the desired settings "
+                        f"(got: {', '.join(sorted(opts))})"
+                    },
+                    status=400,
+                )
+                return
             body = self._read_body()
             if parsed.path == "/predict":
                 ctype = self.headers.get("Content-Type", "")
@@ -197,6 +219,11 @@ def serve(
         from img2latex_tpu.export import ExportedPredictor
 
         predictor = ExportedPredictor.load(checkpoint)
+        if batch_size:
+            # Runtime coalesce cap (not a baked decode setting): exact chunk
+            # shape for symbolic artifacts, clamped to exported sizes
+            # otherwise — mirrors `predict --exported --batch-size`.
+            predictor.batch_size = batch_size
     else:
         from img2latex_tpu.training.predictor import Predictor
 

@@ -25,7 +25,7 @@ import numpy as np
 
 from img2latex_tpu.config import Config, config_from_dict
 from img2latex_tpu.data.tokenizer import LaTeXTokenizer
-from img2latex_tpu.data.transforms import array_to_canvas_u8, load_image_u8
+from img2latex_tpu.data.transforms import prepare_image_u8
 from img2latex_tpu.decoding.decode import (
     DecodeConfig,
     beam_decode,
@@ -222,41 +222,10 @@ class Predictor:
 
     def _prepare_image(self, image: ImageLike) -> np.ndarray:
         """Any accepted input -> uint8 (H, W, C) canvas (reference
-        ``predictor.py:396-462`` dispatch)."""
+        ``predictor.py:396-462`` dispatch; shared with ExportedPredictor so
+        live and artifact serving preprocess identically)."""
         h, w, c = self.cfg.image_shape
-        if isinstance(image, str):
-            return load_image_u8(image, (h, w), c, self.cfg.preprocessing.pad_value)
-        try:  # PIL image
-            from PIL import Image as PILImage
-
-            if isinstance(image, PILImage.Image):
-                mode = "L" if c == 1 else "RGB"
-                if image.mode != mode:
-                    image = image.convert(mode)
-                arr = np.asarray(image, dtype=np.uint8)
-                if arr.ndim == 2:
-                    arr = arr[:, :, None]
-                return array_to_canvas_u8(arr, h, w, self.cfg.preprocessing.pad_value)
-        except ImportError:  # pragma: no cover
-            pass
-        arr = np.asarray(image)
-        if arr.dtype != np.uint8:
-            # float in [0,1] or [-1,1] -> back to uint8 canvas
-            a = arr.astype(np.float32)
-            if a.min() < 0:
-                a = (a + 1.0) / 2.0
-            arr = np.clip(a * 255.0, 0, 255).astype(np.uint8)
-        if arr.ndim == 2:
-            arr = arr[:, :, None]
-        if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[-1] not in (1, 3):
-            arr = np.transpose(arr, (1, 2, 0))  # CHW -> HWC
-        if arr.shape[2] == 1 and c == 3:
-            arr = np.repeat(arr, 3, axis=2)
-        if arr.shape[2] == 3 and c == 1:
-            arr = arr.mean(axis=2, keepdims=True).astype(np.uint8)
-        if arr.shape[:2] != (h, w):
-            arr = array_to_canvas_u8(arr, h, w, self.cfg.preprocessing.pad_value)
-        return arr
+        return prepare_image_u8(image, h, w, c, self.cfg.preprocessing.pad_value)
 
     # ------------------------------------------------------------------
     # Aspect-ratio bucketing support (BASELINE.json: "aspect-ratio-bucketed

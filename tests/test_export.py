@@ -230,6 +230,32 @@ class TestExportGridMemory:
         assert exported.predict_batch(imgs) == pred.predict_batch(imgs, batch_size=4, beam_size=2)
 
 
+class TestSharedImagePrep:
+    def test_exported_prep_matches_live(self, trained, tmp_path):
+        """Live and artifact serving share one input dispatch
+        (data/transforms.prepare_image_u8): PIL RGB, CHW float arrays, and
+        HWC uint8 RGB all produce identical canvases on both paths."""
+        from PIL import Image
+
+        ckpt, pred, imgs = trained
+        out = tmp_path / "prep"
+        export_checkpoint(ckpt, str(out), batch_sizes=(2,))
+        exported = ExportedPredictor.load(str(out))
+
+        pil_rgb = Image.open(imgs[0]).convert("RGB")
+        hwc_rgb = np.asarray(pil_rgb)
+        chw_float = hwc_rgb.transpose(2, 0, 1).astype(np.float32) / 255.0
+        for inp in (pil_rgb, hwc_rgb, chw_float):
+            live = pred._prepare_image(inp)
+            art = exported._prepare_image(inp)
+            np.testing.assert_array_equal(live, art)
+        # RGB->gray uses ITU-R 601 luma (PIL convert('L')), so the array
+        # input agrees with the PIL input exactly.
+        np.testing.assert_array_equal(
+            exported._prepare_image(hwc_rgb), exported._prepare_image(pil_rgb)
+        )
+
+
 class TestExportServing:
     def test_inference_server_over_artifact(self, trained, tmp_path):
         """The dynamic-batching server accepts an ExportedPredictor drop-in:
@@ -245,6 +271,46 @@ class TestExportServing:
             results = srv.predict_many(imgs[:6], timeout=120)
         assert results == pred.predict_batch(imgs[:6], batch_size=4)
         assert srv.stats.requests == 6
+
+    def test_http_rejects_baked_options_with_400(self, trained, tmp_path):
+        """Per-request decode query params against an exported artifact are a
+        client mistake: clean 400, and the batch still serves option-free
+        requests afterwards."""
+        import urllib.error
+        import urllib.request
+
+        from img2latex_tpu.serving import InferenceServer
+        from img2latex_tpu.serving_http import serve_in_thread
+
+        ckpt, pred, imgs = trained
+        out = tmp_path / "srvart400"
+        export_checkpoint(ckpt, str(out), batch_sizes=(2,))
+        exported = ExportedPredictor.load(str(out))
+        with InferenceServer(exported, max_wait_ms=20) as srv:
+            httpd, port = serve_in_thread(srv)
+            try:
+                img_bytes = open(imgs[0], "rb").read()
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/predict?beam_size=3",
+                    data=img_bytes, headers={"Content-Type": "image/png"},
+                )
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    urllib.request.urlopen(req, timeout=60)
+                assert ei.value.code == 400
+                assert "baked" in json.loads(ei.value.read())["error"]
+                # Option-free request still serves fine.
+                ok = urllib.request.urlopen(
+                    urllib.request.Request(
+                        f"http://127.0.0.1:{port}/predict", data=img_bytes,
+                        headers={"Content-Type": "image/png"},
+                    ),
+                    timeout=60,
+                )
+                assert json.loads(ok.read())["latex"] == pred.predict_batch(
+                    [imgs[0]], batch_size=4
+                )[0]
+            finally:
+                httpd.shutdown()
 
     def test_serve_exported_rejects_overrides(self, trained, tmp_path):
         from img2latex_tpu.serving_http import serve
@@ -270,6 +336,24 @@ class TestExportCLI:
         assert rc == 0
         printed = capsys.readouterr().out.strip()
         assert printed == pred.predict_batch([imgs[0]], batch_size=4)[0]
+
+    def test_exported_batch_size_is_runtime_chunk_cap(self, trained, tmp_path, capsys):
+        """--batch-size stays live on the artifact path (a runtime chunk
+        cap), unlike the baked decode flags which are rejected."""
+        from img2latex_tpu.cli import main
+
+        ckpt, pred, imgs = trained
+        out = tmp_path / "clibs"
+        assert main(["export", ckpt, str(out), "--batch-sizes", "2,4"]) == 0
+        capsys.readouterr()
+        rc = main(["predict", "--exported", str(out), "--batch-size", "2", imgs[0]])
+        assert rc == 0
+        assert capsys.readouterr().out.strip() == pred.predict_batch(
+            [imgs[0]], batch_size=4
+        )[0]
+        # The cap clamps chunking for fixed-batch artifacts.
+        exported = ExportedPredictor.load(str(out))
+        assert exported._pick_batch(3, cap=2) == 2
 
     def test_exported_rejects_baked_flags(self, trained, tmp_path):
         from img2latex_tpu.cli import main
