@@ -581,7 +581,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap_ = an_sub.add_parser("project", help="Config validation + sweep summary")
     _common_config_args(ap_)
     ap_.add_argument("--check", default="all",
-                     choices=["all", "config", "files", "consistency", "sweep", "env"])
+                     choices=["all", "config", "files", "consistency", "git", "sweep", "env"])
+    ap_.add_argument("--checkpoint", default=None,
+                     help="cross-check this checkpoint's param shapes against its "
+                          "embedded config (used by --check consistency/all)")
     ap_.add_argument("--output-dir", default="outputs/analysis/project")
     ap_.set_defaults(func=cmd_analyze)
 

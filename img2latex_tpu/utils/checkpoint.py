@@ -186,6 +186,45 @@ def restore_checkpoint(
     return state, meta
 
 
+def param_shapes(
+    ckpt_dir: str | Path, step: Optional[int] = None
+) -> Tuple[Dict[str, tuple], Dict[str, Any]]:
+    """Read ``({flattened/param/path: shape}, meta)`` WITHOUT restoring arrays.
+
+    Shape-only metadata read — the consistency lint (``analyze project
+    --check consistency --checkpoint DIR``) cross-checks a checkpoint's actual
+    parameter shapes against its embedded config without pulling the weights
+    off disk (reference lint is config-only, ``analysis/project.py:412-514``;
+    this is the checkpoint-aware deepening)."""
+    ckpt_dir = Path(ckpt_dir).absolute()
+    if step is None:
+        step = latest_step(ckpt_dir)
+    elif step == -1:
+        best = best_step(ckpt_dir)
+        step = best if best is not None else latest_step(ckpt_dir)
+    if step is None:
+        raise FileNotFoundError(f"No checkpoints under {ckpt_dir}")
+    step_dir = ckpt_dir / f"step_{step}"
+    import jax
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        meta_obj = ckptr.metadata(step_dir / _STATE_SUBDIR)
+    tree = getattr(meta_obj, "item_metadata", meta_obj)
+    tree = getattr(tree, "tree", tree)
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    shapes: Dict[str, tuple] = {}
+    for path, leaf in flat:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p)))) for p in path
+        )
+        shape = getattr(leaf, "shape", None)
+        if shape is not None:
+            shapes[key] = tuple(shape)
+    meta_file = step_dir / _META_FILE
+    meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
+    return shapes, meta
+
+
 def resolve_checkpoint_path(path: str | Path) -> Tuple[Path, Optional[int]]:
     """Accept a ckpt dir, a ``step_N`` dir, or a dir containing ``checkpoints/``;
     return (ckpt_dir, step)."""

@@ -178,6 +178,98 @@ class TestAnalyzeSuiteFull:
                    "--output-dir", str(tmp_path / "out")])
         assert rc == 1
 
+    def test_project_git_diff(self, workdir, tmp_path):
+        """--check git: dotted-key diff of the config vs its committed version
+        (reference project.py:231-293)."""
+        import subprocess
+
+        import yaml as _yaml
+
+        repo = tmp_path / "gitrepo"
+        repo.mkdir()
+        subprocess.run(["git", "init", "-q", str(repo)], check=True)
+        cfg = _yaml.safe_load((workdir / "cfg.yaml").read_text())
+        cfg_path = repo / "cfg.yaml"
+        cfg_path.write_text(_yaml.safe_dump(cfg))
+        env = {"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t", "GIT_COMMITTER_NAME": "t",
+               "GIT_COMMITTER_EMAIL": "t@t", "PATH": os.environ["PATH"], "HOME": os.environ.get("HOME", "/tmp")}
+        subprocess.run(["git", "-C", str(repo), "add", "cfg.yaml"], check=True, env=env)
+        subprocess.run(["git", "-C", str(repo), "commit", "-qm", "base"], check=True, env=env)
+        # mutate: modify one scalar, add one key, delete one key
+        cfg["training"]["epochs"] = 99
+        cfg["training"]["new_knob"] = True
+        del cfg["inference"]["max_length"]
+        cfg_path.write_text(_yaml.safe_dump(cfg))
+
+        from img2latex_tpu.analysis.project import compare_config_with_git
+
+        diff = compare_config_with_git(str(cfg_path))
+        assert "training.epochs: 1 -> 99" in diff["modified"]
+        assert "training.new_knob" in diff["added"]
+        assert "inference.max_length" in diff["deleted"]
+
+        out = tmp_path / "gitreport"
+        rc = main(["analyze", "project", "--config", str(cfg_path),
+                   "--check", "git", "--output-dir", str(out)])
+        assert rc == 0
+        report = json.loads((out / "project_report.json").read_text())
+        assert report["git"]["added"] == ["training.new_knob"]
+
+    def test_project_git_untracked_config(self, workdir, tmp_path):
+        from img2latex_tpu.analysis.project import compare_config_with_git
+
+        loose = tmp_path / "loose.yaml"
+        loose.write_text("a: 1\n")
+        diff = compare_config_with_git(str(loose))
+        assert "error" in diff
+
+    def test_project_checkpoint_consistency(self, workdir, tmp_path):
+        """--check consistency --checkpoint: param shapes cross-checked
+        against the checkpoint's embedded config/tokenizer (deepens reference
+        project.py:412-514 to checkpoint-vs-config agreement)."""
+        ckpt = str(workdir / "outputs" / "cli_t" / "checkpoints")
+        out = tmp_path / "consistency"
+        rc = main(["analyze", "project", "--config", str(workdir / "cfg.yaml"),
+                   "--check", "consistency", "--checkpoint", ckpt,
+                   "--output-dir", str(out)])
+        assert rc == 0
+        report = json.loads((out / "project_report.json").read_text())
+        cc = report["checkpoint_consistency"]
+        assert cc["consistent"], cc["issues"]
+        assert cc["model"] == "cnn_lstm"
+        assert cc["config_drift"] == []  # same config as the training run
+
+    def test_project_checkpoint_consistency_detects_mismatch(self, workdir):
+        """A checkpoint whose embedded config disagrees with its own param
+        shapes must be flagged; a *current* config that disagrees shows drift."""
+        import shutil
+
+        from img2latex_tpu.analysis.project import check_checkpoint_consistency
+        from img2latex_tpu.config import load_config
+
+        src = workdir / "outputs" / "cli_t" / "checkpoints"
+        broken = workdir / "broken_ckpt"
+        if not broken.exists():
+            shutil.copytree(src, broken)
+        step_dirs = sorted(broken.glob("step_*"))
+        meta_file = step_dirs[-1] / "meta.json"
+        meta = json.loads(meta_file.read_text())
+        meta["config"]["model"]["embedding_dim"] = 777
+        meta["config"]["model"]["decoder"]["lstm_layers"] = 3
+        meta_file.write_text(json.dumps(meta))
+
+        rep = check_checkpoint_consistency(str(broken))
+        assert not rep["consistent"]
+        joined = " ".join(rep["issues"])
+        assert "embedding_dim 777" in joined
+        assert "lstm_layers 3" in joined
+
+        # drift vs a different current config
+        cfg = load_config(str(workdir / "cfg.yaml"), {"model.decoder.hidden_dim": 64})
+        rep2 = check_checkpoint_consistency(str(src), cfg)
+        assert rep2["consistent"]
+        assert any("hidden_dim" in d for d in rep2["config_drift"])
+
     def test_curves(self, workdir):
         out = workdir / "an2" / "curves"
         rc = main(["analyze", "curves", "-e", "cli_t",
