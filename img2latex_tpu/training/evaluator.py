@@ -7,7 +7,32 @@ writes ``predictions/predictions.json`` under the experiment directory.
 
 TPU-native: the eval loop feeds loader batches (uint8, static shapes)
 straight into the predictor's compiled decode — images/sec here IS the
-benchmark path (north star: >=5k img/s on v5e-8).
+benchmark path (north star: >=5k img/s on v5e-8).  Two overlap mechanisms
+keep it device-bound rather than host-bound:
+
+* dispatch/fetch pipelining — batch *i* is dispatched, batch *i+1* is pulled
+  from the loader (whose background thread preps it) and uploaded, and only
+  then is batch *i*'s result fetched, so host prep + upload ride under the
+  device decode;
+* ``data.device_cache=true`` uploads the whole split ONCE (uint8 in HBM) and
+  decodes from device-resident arrays — zero steady-state host->device
+  traffic, the same recipe the Trainer uses (essential on link-bound hosts;
+  see STATUS.md on the dev tunnel's upload cost).
+
+Throughput accounting (round-2 review fix: the old ``decode_seconds`` /
+``images_per_second`` pair used different inclusion rules and could point in
+opposite directions, ``artifacts/mathtext_hard_grid/bucketed_eval.json``).
+Every executable's FIRST call carries its XLA compile; steady-state numbers
+exclude each first call and exactly its images, consistently:
+
+* ``end_to_end_seconds``   — total wall: prep + upload + compile + decode + post
+* ``decode_seconds``       — steady-state device dispatch + blocking wait only
+* ``compile_and_first_batch_seconds`` — sum of first-call walls (one per executable)
+* ``host_prep_seconds`` / ``host_post_seconds`` / ``input_wait_seconds`` /
+  ``cache_build_seconds`` — host-side buckets (prep overlaps decode, so the
+  buckets deliberately do NOT sum to the wall)
+* ``images_per_second``    — steady END-TO-END: steady_images / (wall − compile)
+* ``images_per_second_decode_only`` — steady_images / decode_seconds
 """
 
 from __future__ import annotations
@@ -87,15 +112,75 @@ def evaluate_checkpoint(
             pred, cfg, loader, dcfg, split, bucket_widths, max_batches, output_dir
         )
 
+    stats: Dict[str, Any] = {}
+    wall0 = time.perf_counter()
+
+    # ---- optional split-in-HBM cache (data.device_cache) -----------------
+    # Single upload of the whole split; the decode loop then reads
+    # device-resident uint8 — no steady-state host->device transfers.
+    use_cache = bool(getattr(cfg.data, "device_cache", False)) and (
+        getattr(loader, "process_count", 1) == 1
+    )
+    if use_cache:
+        t0 = time.perf_counter()
+        cached = []
+        for bi, batch in enumerate(loader):
+            if max_batches is not None and bi >= max_batches:
+                break
+            dev = jax.device_put(batch["images"])
+            cached.append({**batch, "_images_dev": dev})
+        if cached:
+            cached[-1]["_images_dev"].block_until_ready()
+        stats["cache_build_s"] = time.perf_counter() - t0
+        batch_iter: Any = enumerate(cached)
+    else:
+        batch_iter = enumerate(loader)
+
     all_preds, all_tgts, rows = [], [], []
     n_images = 0
-    decode_s = 0.0
-    first_batch_s = 0.0  # includes XLA compile; excluded from throughput
-    first_batch_images = 0
     run = None
     rng = jax.random.PRNGKey(0)
     sample_offset = 0
-    for bi, batch in enumerate(loader):
+    ds = loader.dataset
+    pending = None  # (tokens_dev, n_local, row_base) awaiting fetch
+    seen_exec = False
+    t_post = 0.0
+
+    def _collect(p) -> None:
+        nonlocal t_post, seen_exec
+        tokens_dev, n_local, row_base, dispatch_wall = p
+        t0 = time.perf_counter()
+        tokens = np.asarray(tokens_dev)
+        dt = time.perf_counter() - t0
+        if not seen_exec:
+            stats.setdefault("first_calls", []).append(
+                {"exec": "decode", "seconds": dt + dispatch_wall, "images": n_local}
+            )
+            seen_exec = True
+        else:
+            stats["fetch_s"] = stats.get("fetch_s", 0.0) + dt
+            stats["steady_images"] = stats.get("steady_images", 0) + n_local
+        t1 = time.perf_counter()
+        pred_ids = trim_host(
+            tokens[:n_local], tok.end_token_id, tok.pad_token_id,
+            start_id=tok.start_token_id,
+        )
+        all_preds.extend(pred_ids)
+        for j in range(n_local):
+            idx = row_base + j
+            name = ds.samples[idx][0] if idx < len(ds.samples) and not loader.shuffle else None
+            rows.append({"image": name, "prediction": tok.decode(pred_ids[j])})
+        t_post += time.perf_counter() - t1
+
+    # NOTE on first-call accounting: the first dispatch's wall is folded into
+    # its fetch (JAX compiles at first execution; with async dispatch the
+    # block lands in np.asarray), so first_calls[0] = dispatch + fetch walls
+    # of batch 0 and steady dispatch_s starts at batch 1.
+    t_input0 = time.perf_counter()
+    for bi, batch in batch_iter:
+        stats["input_wait_s"] = stats.get("input_wait_s", 0.0) + (
+            time.perf_counter() - t_input0
+        )
         if max_batches is not None and bi >= max_batches:
             break
         B = batch["images"].shape[0]
@@ -109,68 +194,91 @@ def evaluate_checkpoint(
         n_local = int(batch.get("n_valid_local", n_valid))
         rng, sub = jax.random.split(rng)
         t0 = time.perf_counter()
-        tokens = run(jax.numpy.asarray(batch["images"]), sub)
-        pred_ids = trim_host(
-            np.asarray(tokens)[:n_local], tok.end_token_id, tok.pad_token_id,
-            start_id=tok.start_token_id,
-        )
-        if bi == 0:
-            first_batch_s = time.perf_counter() - t0
-            first_batch_images = n_local
-        else:
-            decode_s += time.perf_counter() - t0
+        images = batch.get("_images_dev")
+        if images is None:
+            images = jax.numpy.asarray(batch["images"])
+        tokens = run(images, sub)
+        t_dispatch = time.perf_counter() - t0
+        if seen_exec or pending is not None:
+            stats["dispatch_s"] = stats.get("dispatch_s", 0.0) + t_dispatch
+            t_dispatch = 0.0
+        # Targets trim on host while the device decodes.
+        t1 = time.perf_counter()
         tgt_ids = trim_host(
             np.asarray(batch["formulas"])[:n_local, 1:],  # strip START
             tok.end_token_id,
             tok.pad_token_id,
         )
-        all_preds.extend(pred_ids)
         all_tgts.extend(tgt_ids)
-        ds = loader.dataset
-        # Global sample index of this process's first row in the batch.
+        t_post += time.perf_counter() - t1
         row_base = sample_offset + loader.process_index * loader.local_batch_size
-        for j in range(n_local):
-            idx = row_base + j
-            name = ds.samples[idx][0] if idx < len(ds.samples) and not loader.shuffle else None
-            rows.append(
-                {
-                    "image": name,
-                    "prediction": tok.decode(pred_ids[j]),
-                    "reference": tok.decode(tgt_ids[j]),
-                }
-            )
+        if pending is not None:
+            _collect(pending)
+        pending = (tokens, n_local, row_base, t_dispatch)
         sample_offset += n_valid
         n_images += n_local
+        t_input0 = time.perf_counter()
+    if pending is not None:
+        _collect(pending)
+    stats["post_s"] = stats.get("post_s", 0.0) + t_post
+    # references join their rows only now (rows were built per fetched batch)
+    for r, tgt in zip(rows, all_tgts):
+        r["reference"] = tok.decode(tgt)
 
+    wall = time.perf_counter() - wall0
     return _finish(
-        cfg, tok, split, all_preds, all_tgts, rows, n_images, decode_s,
-        first_batch_s, first_batch_images, dcfg, output_dir,
+        cfg, tok, split, all_preds, all_tgts, rows, n_images, stats, wall,
+        dcfg, output_dir,
     )
 
 
-def _finish(cfg, tok, split, all_preds, all_tgts, rows, n_images, decode_s,
-            first_batch_s, first_batch_images, dcfg, output_dir,
-            bucketed: bool = False):
+def _finish(cfg, tok, split, all_preds, all_tgts, rows, n_images, stats,
+            wall_s, dcfg, output_dir, bucketed: bool = False):
     quality = calculate_metrics(all_preds, all_tgts, cfg.evaluation.bleu_n)
     correct, total = token_list_accuracy(all_preds, all_tgts, tok.pad_token_id)
+    first_calls = stats.get("first_calls", [])
+    compile_s = sum(f["seconds"] for f in first_calls)
+    steady_images = int(stats.get("steady_images", 0))
+    decode_s = stats.get("dispatch_s", 0.0) + stats.get("fetch_s", 0.0)
+    steady_wall = max(wall_s - compile_s, 0.0)
+    if steady_images > 0 and steady_wall > 0 and decode_s > 0:
+        ips = steady_images / steady_wall
+        ips_decode = steady_images / decode_s
+        includes_compile = False
+    else:
+        # Single batch (or single executable call): no compile-free
+        # measurement exists — report the compile-inclusive rate and say so.
+        ips = n_images / max(wall_s, 1e-9)
+        ips_decode = ips
+        includes_compile = True
     result = {
         "split": split,
         "num_images": n_images,
         "bleu": quality["bleu"],
         "levenshtein": quality["levenshtein"],
         "token_accuracy": correct / total if total else 0.0,
-        "decode_seconds": decode_s + first_batch_s,
-        "compile_and_first_batch_seconds": first_batch_s,
-        # Steady-state throughput: exclude the first batch (it carries the
-        # XLA compile) and exactly its images.  With a single batch there is
-        # no compile-free measurement — report the compile-inclusive number
-        # and say so (it feeds RESULTS.json artifacts).
-        "images_per_second": (
-            (n_images - first_batch_images) / decode_s
-            if decode_s > 0
-            else n_images / max(first_batch_s, 1e-9)
+        # ---- throughput accounting (see module docstring) ----------------
+        # ONE inclusion rule for both throughput fields: each executable's
+        # first call (XLA compile) and exactly its images are excluded, so
+        # the two rates always agree in direction; prep/post overlap decode,
+        # so the host buckets do not sum to the wall.
+        "end_to_end_seconds": wall_s,
+        "decode_seconds": decode_s,
+        "compile_and_first_batch_seconds": compile_s,
+        "host_prep_seconds": stats.get("prep_s", 0.0) + stats.get("bucket_assign_s", 0.0),
+        "host_post_seconds": stats.get("post_s", 0.0),
+        "input_wait_seconds": stats.get("input_wait_s", 0.0),
+        "cache_build_seconds": stats.get("cache_build_s", 0.0),
+        "steady_images": steady_images,
+        "images_per_second": ips,
+        "images_per_second_decode_only": ips_decode,
+        "images_per_second_includes_compile": includes_compile,
+        "accounting": (
+            "images_per_second = steady end-to-end: (num_images - first-call "
+            "images) / (end_to_end_seconds - compile_and_first_batch_seconds); "
+            "images_per_second_decode_only divides the same images by "
+            "decode_seconds (device dispatch + blocking wait only)"
         ),
-        "images_per_second_includes_compile": decode_s <= 0,
         "bucketed": bucketed,
         "decode": {
             "beam_size": dcfg.beam_size,
@@ -183,13 +291,16 @@ def _finish(cfg, tok, split, all_preds, all_tgts, rows, n_images, decode_s,
         },
     }
     logger.info(
-        "evaluate[%s]: %d images bleu %.4f lev %.4f acc %.4f (%.0f img/s)",
+        "evaluate[%s]: %d images bleu %.4f lev %.4f acc %.4f "
+        "(%.0f img/s end-to-end, %.0f img/s decode-only%s)",
         split,
         n_images,
         result["bleu"],
         result["levenshtein"],
         result["token_accuracy"],
         result["images_per_second"],
+        result["images_per_second_decode_only"],
+        " incl. compile" if includes_compile else "",
     )
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
@@ -203,9 +314,9 @@ def _evaluate_bucketed(pred, cfg, loader, dcfg, split, bucket_widths, max_batche
     """Aspect-bucketed evaluation: decode straight from the image files (the
     buckets need natural widths, which the fixed-canvas loader discards).
     Encoder cost scales with each image's bucket; outputs are identical to
-    the fixed-canvas path (Predictor._predict_bucketed).  Throughput here
-    includes the per-bucket compiles — scripts/bench_buckets.py measures the
-    steady state."""
+    the fixed-canvas path (Predictor._predict_bucketed).  Host prep pipelines
+    against device decode inside predict_batch; per-bucket-width compiles are
+    excluded from the steady-state numbers via the shared stats contract."""
     tok = pred.tokenizer
     ds = loader.dataset
     n = len(ds.samples)
@@ -217,6 +328,7 @@ def _evaluate_bucketed(pred, cfg, loader, dcfg, split, bucket_widths, max_batche
         if not os.path.exists(p) and not os.path.splitext(name)[1]:
             p += ".png"
         paths.append(p)
+    stats: Dict[str, Any] = {}
     t0 = time.perf_counter()
     pred_ids = pred.predict_batch(
         paths,
@@ -231,6 +343,7 @@ def _evaluate_bucketed(pred, cfg, loader, dcfg, split, bucket_widths, max_batche
         return_ids=True,
         bucket_widths=bucket_widths,
         selective_beam_frac=dcfg.selective_beam_frac,
+        stats=stats,
     )
     wall = time.perf_counter() - t0
     tgt_rows = np.stack([ds.token_ids(i) for i in range(n)])
@@ -244,6 +357,6 @@ def _evaluate_bucketed(pred, cfg, loader, dcfg, split, bucket_widths, max_batche
         for i in range(n)
     ]
     return _finish(
-        cfg, tok, split, pred_ids, tgt_ids, rows, n, 0.0, wall, 0, dcfg,
+        cfg, tok, split, pred_ids, tgt_ids, rows, n, stats, wall, dcfg,
         output_dir, bucketed=True,
     )
