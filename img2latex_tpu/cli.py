@@ -247,6 +247,16 @@ def cmd_export(args: argparse.Namespace) -> int:
         batch_sizes = [int(b) for b in args.batch_sizes.split(",") if b.strip()]
     except ValueError:
         raise SystemExit(f"--batch-sizes must be a comma list of ints, got {args.batch_sizes!r}")
+    try:
+        bucket_widths = (
+            [int(b) for b in args.bucket_widths.split(",") if b.strip()]
+            if args.bucket_widths
+            else None
+        )
+    except ValueError:
+        raise SystemExit(
+            f"--bucket-widths must be a comma list of ints, got {args.bucket_widths!r}"
+        )
     platforms = (
         [p.strip() for p in args.platforms.split(",") if p.strip()]
         if args.platforms
@@ -271,6 +281,7 @@ def cmd_export(args: argparse.Namespace) -> int:
         platforms=platforms,
         config_overrides=_parse_overrides(args),
         symbolic_batch=args.symbolic_batch,
+        bucket_widths=bucket_widths,
     )
     batches = "any (symbolic)" if manifest["symbolic_batch"] else manifest["batch_sizes"]
     print(
@@ -501,6 +512,10 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--platforms", default=None,
                     help='Comma list of target platforms, e.g. "tpu,cpu" '
                          "(default: current backend only)")
+    ex.add_argument("--bucket-widths", default=None,
+                    help="Comma list of aspect-bucket widths to also export "
+                         "(one executable per batch x width; inputs route "
+                         "through the same bucket rule as the live path)")
     ex.add_argument("--symbolic-batch", action="store_true",
                     help="One batch-polymorphic executable (any batch size, "
                          "no padding) instead of one per --batch-sizes entry; "

@@ -182,3 +182,58 @@ def array_to_canvas_u8(
     if res.ndim == 2:
         res = res[:, :, None]
     return res
+
+
+# ---- aspect-bucket assignment (shared by Predictor and ExportedPredictor) --
+
+def natural_size(image) -> "Tuple[int, int] | None":
+    """(width, height) of the raw input, or None when unavailable.
+
+    Path strings read only the header (PIL lazy open); arrays use their
+    shape (CHW recognized by channel-count heuristics, matching
+    ``prepare_image_u8``'s dispatch).
+    """
+    if isinstance(image, str):
+        try:
+            with Image.open(image) as im:
+                return im.size
+        except Exception:
+            return None
+    if isinstance(image, Image.Image):
+        return image.size
+    arr = np.asarray(image)
+    if arr.ndim in (2, 3):
+        if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[-1] not in (1, 3):
+            return arr.shape[2], arr.shape[1]  # CHW
+        return arr.shape[1], arr.shape[0]
+    return None
+
+
+def assign_bucket(
+    image,
+    bucket_widths,
+    target_height: int,
+    full_width: int,
+    stride: int,
+    margin: int,
+) -> "int | None":
+    """Smallest bucket whose width fits the height-resized content plus the
+    white margin; None = use the standard full canvas.
+
+    The ONE routing rule for aspect-bucketed decode, shared by the live
+    ``Predictor._predict_bucketed`` and the serialized-artifact
+    ``ExportedPredictor`` so both serving paths bucket identically.  A
+    bucket is eligible only if its width is stride-aligned (the conv
+    stack's total pooling) and its canvas (``width + margin``) is strictly
+    narrower than the full canvas.
+    """
+    size = natural_size(image)
+    if size is None or size[1] == 0:
+        return None
+    nat_w = int(round(target_height * size[0] / size[1]))
+    for bw in sorted(int(b) for b in bucket_widths):
+        if bw % stride or bw + margin >= full_width:
+            continue
+        if nat_w + margin <= bw:
+            return bw
+    return None

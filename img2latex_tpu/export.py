@@ -56,8 +56,14 @@ _DCFG_FIELDS = (
 )
 
 
-def _artifact_name(batch: int) -> str:
-    return f"decode_b{batch}.jaxexport"
+def _artifact_name(batch: int, width: Optional[int] = None) -> str:
+    return f"decode_b{batch}.jaxexport" if width is None else (
+        f"decode_b{batch}_w{width}.jaxexport"
+    )
+
+
+def _artifact_key(batch: int, width: Optional[int] = None) -> str:
+    return str(batch) if width is None else f"{batch}_w{width}"
 
 
 _DYN_KEY = "dyn"
@@ -136,6 +142,7 @@ def export_checkpoint(
     platforms: Optional[Sequence[str]] = None,
     config_overrides: Optional[Dict[str, Any]] = None,
     symbolic_batch: bool = False,
+    bucket_widths: Optional[Sequence[int]] = None,
 ) -> Dict[str, Any]:
     """Export a trained checkpoint's decode path to ``out_dir``.
 
@@ -151,6 +158,16 @@ def export_checkpoint(
     at serving time (``batch_sizes[-1]`` is kept as the server coalesce
     default).  Selective beam is excluded there — its bottom-k row count is a
     value-dependent shape.
+
+    ``bucket_widths`` additionally exports one executable per (batch size,
+    bucket width) at the bucket's narrower canvas (CNN encoder cost scales
+    with width — the live path's 1.28x steady-state win), alongside the
+    full-canvas entries.  ``ExportedPredictor`` then routes each input
+    through the shared :func:`data.transforms.assign_bucket` rule, exactly
+    like ``Predictor._predict_bucketed``; outputs stay identical to the
+    full-canvas decode (white-margin + feature-fill construction).  CNN
+    models only; incompatible with ``symbolic_batch`` (each bucket would
+    need its own polymorphic export — not worth 2x the artifact count).
     """
     import jax
     import jax.numpy as jnp
@@ -200,6 +217,33 @@ def export_checkpoint(
     if not batch_sizes or batch_sizes[0] < 1:
         raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
     plats = list(platforms) if platforms else None
+    buckets: List[int] = []
+    if bucket_widths:
+        if symbolic_batch:
+            raise ValueError(
+                "bucket_widths is incompatible with symbolic_batch "
+                "(one polymorphic export per bucket width; export fixed "
+                "batch sizes instead)"
+            )
+        if pred.cfg.model.name != "cnn_lstm":
+            raise ValueError(
+                "bucket_widths requires a cnn_lstm checkpoint (the ResNet "
+                "path has no width-scaled encoder executable)"
+            )
+        stride = pred._bucket_stride()
+        margin = pred.bucket_margin_px()
+        for bw in sorted(set(int(b) for b in bucket_widths)):
+            if bw % stride:
+                raise ValueError(
+                    f"bucket width {bw} is not a multiple of the conv "
+                    f"stride {stride}"
+                )
+            if bw + margin >= w:
+                raise ValueError(
+                    f"bucket width {bw} + margin {margin} must be narrower "
+                    f"than the full canvas ({w})"
+                )
+            buckets.append(bw)
     if symbolic_batch:
         if 0.0 < dcfg.selective_beam_frac < 1.0:
             raise ValueError(
@@ -223,22 +267,25 @@ def export_checkpoint(
         )
     else:
         for B in batch_sizes:
-            run = pred._decode_fn(B, dcfg)
-            exp = jax.export.export(run, platforms=plats)(
-                jax.ShapeDtypeStruct((B, h, w, c), jnp.uint8),
-                jax.ShapeDtypeStruct((2,), jnp.uint32),
-            )
-            blob = exp.serialize()
-            path = os.path.join(out_dir, _artifact_name(B))
-            with open(path, "wb") as f:
-                f.write(blob)
-            logger.info(
-                "Exported batch-%d decode (%s, %.1f MB) -> %s",
-                B,
-                ",".join(exp.platforms),
-                len(blob) / 1e6,
-                path,
-            )
+            for bw in [None] + buckets:
+                canvas_w = w if bw is None else bw + margin
+                run = pred._decode_fn(B, dcfg, width=bw)
+                exp = jax.export.export(run, platforms=plats)(
+                    jax.ShapeDtypeStruct((B, h, canvas_w, c), jnp.uint8),
+                    jax.ShapeDtypeStruct((2,), jnp.uint32),
+                )
+                blob = exp.serialize()
+                path = os.path.join(out_dir, _artifact_name(B, bw))
+                with open(path, "wb") as f:
+                    f.write(blob)
+                logger.info(
+                    "Exported batch-%d%s decode (%s, %.1f MB) -> %s",
+                    B,
+                    "" if bw is None else f" width-{bw}",
+                    ",".join(exp.platforms),
+                    len(blob) / 1e6,
+                    path,
+                )
 
     manifest: Dict[str, Any] = {
         "version": MANIFEST_VERSION,
@@ -255,9 +302,17 @@ def export_checkpoint(
         "artifacts": (
             {_DYN_KEY: _DYN_NAME}
             if symbolic_batch
-            else {str(b): _artifact_name(b) for b in batch_sizes}
+            else {
+                _artifact_key(b, bw): _artifact_name(b, bw)
+                for b in batch_sizes
+                for bw in [None] + buckets
+            }
         ),
     }
+    if buckets:
+        manifest["bucket_widths"] = buckets
+        manifest["bucket_margin"] = margin
+        manifest["bucket_stride"] = stride
     with open(os.path.join(out_dir, MANIFEST_NAME), "w", encoding="utf-8") as f:
         json.dump(manifest, f, indent=2)
     return manifest
@@ -297,11 +352,11 @@ class ExportedPredictor:
         return cls(manifest, directory)
 
     # ------------------------------------------------------------------
-    def _call(self, batch: int):
-        """Deserialize (once) and jit the batch-``batch`` executable; a
-        symbolic-batch artifact has one executable for every batch (jit
+    def _call(self, batch: int, width: Optional[int] = None):
+        """Deserialize (once) and jit the (batch[, bucket-width]) executable;
+        a symbolic-batch artifact has one executable for every batch (jit
         compiles per distinct shape on first use)."""
-        key: Any = _DYN_KEY if self.symbolic else batch
+        key: Any = _DYN_KEY if self.symbolic else _artifact_key(batch, width)
         if key not in self._calls:
             import jax
 
@@ -324,14 +379,16 @@ class ExportedPredictor:
                 return b
         return sizes[-1]
 
-    def _prepare_image(self, image: Any) -> np.ndarray:
+    def _prepare_image(self, image: Any, canvas_w: Optional[int] = None) -> np.ndarray:
         # Shared with the live Predictor (data/transforms.prepare_image_u8) so
         # the artifact path preprocesses identically: PIL mode-aware convert,
         # CHW->HWC transpose, ITU-R 601 luma for RGB->gray.
         from img2latex_tpu.data.transforms import prepare_image_u8
 
         h, w, c = self.manifest["image_shape"]
-        return prepare_image_u8(image, h, w, c, self.manifest["pad_value"])
+        return prepare_image_u8(
+            image, h, canvas_w or w, c, self.manifest["pad_value"]
+        )
 
     # ------------------------------------------------------------------
     def predict_batch(
@@ -348,9 +405,22 @@ class ExportedPredictor:
 
         h, w, c = self.manifest["image_shape"]
         tok = self.tokenizer
+
+        def _trim_extend(out: List[Any], tokens, n: int) -> None:
+            id_lists = trim_host(
+                np.asarray(tokens)[:n],
+                tok.end_token_id,
+                tok.pad_token_id,
+                start_id=tok.start_token_id,
+            )
+            out.extend(id_lists if return_ids else (tok.decode(i) for i in id_lists))
+
         # Same key schedule as Predictor.predict_batch so a sampling export
         # reproduces the live path token-for-token at equal chunking.
         rng = jax.random.PRNGKey(seed)
+        buckets = self.manifest.get("bucket_widths")
+        if buckets and not self.symbolic:
+            return self._predict_bucketed(images, buckets, rng, return_ids, batch_size)
         results: List[Any] = []
         i = 0
         while i < len(images):
@@ -366,16 +436,56 @@ class ExportedPredictor:
                 buf[j] = self._prepare_image(img)
             rng, sub = jax.random.split(rng)
             tokens = self._call(B)(jnp.asarray(buf), sub)
-            id_lists = trim_host(
-                np.asarray(tokens)[: len(chunk)],
-                tok.end_token_id,
-                tok.pad_token_id,
-                start_id=tok.start_token_id,
-            )
-            if return_ids:
-                results.extend(id_lists)
-            else:
-                results.extend(tok.decode(ids) for ids in id_lists)
+            _trim_extend(results, tokens, len(chunk))
+        return results
+
+    def _predict_bucketed(
+        self,
+        images: Sequence[Any],
+        bucket_widths: Sequence[int],
+        rng,
+        return_ids: bool,
+        batch_size: Optional[int],
+    ) -> List[Any]:
+        """Mirror of ``Predictor._predict_bucketed`` over the serialized
+        executables: group inputs by the shared ``assign_bucket`` rule,
+        decode each group through its bucket's artifact (encoder cost scales
+        with the bucket canvas), reassemble in input order."""
+        import jax
+        import jax.numpy as jnp
+
+        from img2latex_tpu.data.transforms import assign_bucket
+        from img2latex_tpu.decoding.decode import trim_host
+
+        h, w_full, c = self.manifest["image_shape"]
+        tok = self.tokenizer
+        margin = int(self.manifest["bucket_margin"])
+        stride = int(self.manifest["bucket_stride"])
+        groups: Dict[Optional[int], List[int]] = {}
+        for idx, img in enumerate(images):
+            bw = assign_bucket(img, bucket_widths, h, w_full, stride, margin)
+            groups.setdefault(bw, []).append(idx)
+        results: List[Any] = [None] * len(images)
+        for bw, idxs in groups.items():
+            canvas_w = w_full if bw is None else bw + margin
+            i = 0
+            while i < len(idxs):
+                B = self._pick_batch(len(idxs) - i, cap=batch_size)
+                chunk = idxs[i : i + B]
+                i += len(chunk)
+                buf = np.zeros((B, h, canvas_w, c), dtype=np.uint8)
+                for j, idx in enumerate(chunk):
+                    buf[j] = self._prepare_image(images[idx], canvas_w)
+                rng, sub = jax.random.split(rng)
+                tokens = self._call(B, bw)(jnp.asarray(buf), sub)
+                id_lists = trim_host(
+                    np.asarray(tokens)[: len(chunk)],
+                    tok.end_token_id,
+                    tok.pad_token_id,
+                    start_id=tok.start_token_id,
+                )
+                for idx, ids in zip(chunk, id_lists):
+                    results[idx] = ids if return_ids else tok.decode(ids)
         return results
 
     def predict(self, image: Any, **kwargs) -> Any:

@@ -641,27 +641,9 @@ class Predictor:
     # ------------------------------------------------------------------
     def _natural_size(self, image: ImageLike):
         """(width, height) of the raw input, or None when unavailable."""
-        if isinstance(image, str):
-            try:
-                from PIL import Image as PILImage
+        from img2latex_tpu.data.transforms import natural_size
 
-                with PILImage.open(image) as im:
-                    return im.size
-            except Exception:
-                return None
-        try:
-            from PIL import Image as PILImage
-
-            if isinstance(image, PILImage.Image):
-                return image.size
-        except ImportError:  # pragma: no cover
-            pass
-        arr = np.asarray(image)
-        if arr.ndim in (2, 3):
-            if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[-1] not in (1, 3):
-                return arr.shape[2], arr.shape[1]  # CHW
-            return arr.shape[1], arr.shape[0]
-        return None
+        return natural_size(image)
 
     def _prepare_image_at_width(self, image: ImageLike, canvas_w: int) -> np.ndarray:
         """Input -> uint8 (H, canvas_w, C) canvas (reference geometry,
@@ -702,23 +684,16 @@ class Predictor:
 
     def _assign_bucket(self, image: ImageLike, bucket_widths) -> Optional[int]:
         """Smallest bucket whose width fits the height-resized content plus
-        the white margin; None = use the standard full canvas."""
+        the white margin; None = use the standard full canvas.  Delegates to
+        the shared :func:`data.transforms.assign_bucket` (one routing rule
+        for live and exported serving)."""
+        from img2latex_tpu.data.transforms import assign_bucket
+
         h, w_full, _ = self.cfg.image_shape
-        size = self._natural_size(image)
-        if size is None or size[1] == 0:
-            return None
-        nat_w = int(round(h * size[0] / size[1]))
-        margin = self.bucket_margin_px()
-        stride = self._bucket_stride()
-        for bw in sorted(int(b) for b in bucket_widths):
-            # The bucket canvas is (bw + margin) wide — reject buckets whose
-            # canvas wouldn't be strictly narrower than the full canvas, or
-            # the "cheaper" path would run the conv stack WIDER than default.
-            if bw % stride or bw + margin >= w_full:
-                continue
-            if nat_w + margin <= bw:
-                return bw
-        return None
+        return assign_bucket(
+            image, bucket_widths, h, w_full,
+            self._bucket_stride(), self.bucket_margin_px(),
+        )
 
     # ---- pipelined chunk decode -----------------------------------------
 
