@@ -179,6 +179,11 @@ class InferenceConfig:
     # chosen-token log-prob) with the full beam.  Near-beam BLEU at
     # near-greedy throughput; 0 (or >=1) = plain beam when beam_size > 0.
     selective_beam_frac: float = 0.0
+    # Confidence signal the selective gate ranks rows by: "logp" (mean
+    # chosen-token log-prob; in-kernel fast path), "margin" (mean top1-top2
+    # log-prob gap), or "entropy" (mean negative step entropy).  Non-"logp"
+    # signals run the greedy pass on the scan path.
+    selective_signal: str = "logp"
     # Stop greedy/sampling decode once every sequence emitted END (the
     # reference's all-finished early break) — output-identical, faster on
     # trained models; routes around the fixed-length Pallas fast path.
@@ -435,5 +440,12 @@ def validate_config(cfg: Config) -> None:
         raise ValueError("training.label_smoothing must be in [0, 1)")
     if cfg.inference.beam_size < 0:
         raise ValueError("inference.beam_size must be >= 0")
+    if getattr(cfg.inference, "selective_signal", "logp") not in (
+        "logp", "margin", "entropy",
+    ):
+        raise ValueError(
+            "inference.selective_signal must be logp, margin or entropy, "
+            f"got {cfg.inference.selective_signal!r}"
+        )
     if len(cfg.hardware.mesh_axes) != len(cfg.hardware.mesh_shape):
         raise ValueError("hardware.mesh_axes and mesh_shape must have equal length")

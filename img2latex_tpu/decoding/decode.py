@@ -56,6 +56,15 @@ class DecodeConfig:
     # rows greedy was unsure about, so this buys near-beam quality at
     # near-greedy throughput; frac>=1 (or 0) degenerates to plain beam.
     selective_beam_frac: float = 0.0
+    # Which per-step confidence signal the selective gate ranks on (all are
+    # accumulated over non-finished steps and length-normalized in
+    # select_uncertain; for every signal SMALLER = LESS confident):
+    #   "logp"    — chosen-token log-prob (the kernels emit this in-kernel)
+    #   "margin"  — log-prob gap between the top-1 and top-2 tokens
+    #   "entropy" — negative entropy of the step distribution
+    # Measured on the flagship checkpoints (scripts/selective_signal_ab.py);
+    # non-"logp" signals route the greedy pass through the scan decode.
+    selective_signal: str = "logp"
     # Stop the decode loop as soon as every sequence has emitted END — the
     # reference's all-finished early break (``seq2seq.py:219-221``,
     # ``predictor.py:337-347``), as a ``lax.while_loop`` instead of the fixed
@@ -145,10 +154,12 @@ def greedy_sample_decode(
     for varied draws (the Predictor does).
 
     ``return_scores=True`` additionally returns (B,) f32 per-sequence sums of
-    the chosen token's ``log_softmax`` (over the raw, unfiltered logits; END
-    included, post-END PAD steps excluded) — the confidence the
-    selective-beam path ranks on.  Oracle for the Pallas kernels' score
-    output.
+    the per-step confidence signal chosen by ``cfg.selective_signal`` (over
+    the raw, unfiltered logits; END included, post-END PAD steps excluded) —
+    the confidence the selective-beam path ranks on.  The default "logp"
+    (chosen-token ``log_softmax``) is the oracle for the Pallas kernels'
+    score output; "margin" and "entropy" are the alternative gates the
+    round-2 review asked to measure.
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -166,8 +177,17 @@ def greedy_sample_decode(
         nxt = nxt.astype(jnp.int32)
         if return_scores:
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            step_lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
-            score = score + jnp.where(finished, 0.0, step_lp)
+            if cfg.selective_signal == "margin":
+                top2, _ = jax.lax.top_k(logp, 2)
+                step_score = top2[:, 0] - top2[:, 1]
+            elif cfg.selective_signal == "entropy":
+                # negative entropy: smaller (more entropic) = less confident,
+                # keeping select_uncertain's bottom-k rule uniform.
+                p = jnp.exp(logp)
+                step_score = jnp.sum(p * logp, axis=-1)
+            else:  # "logp"
+                step_score = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+            score = score + jnp.where(finished, 0.0, step_score)
         out = jnp.where(finished, jnp.int32(cfg.pad_id), nxt)
         finished = jnp.logical_or(finished, out == cfg.end_id)
         return out, carry, finished, key, score

@@ -103,6 +103,7 @@ def evaluate_checkpoint(
         length_penalty=length_penalty if length_penalty is not None else icfg.length_penalty,
         early_exit=early_exit if early_exit is not None else getattr(icfg, "early_exit", False),
         selective_beam_frac=getattr(icfg, "selective_beam_frac", 0.0),
+        selective_signal=getattr(icfg, "selective_signal", "logp"),
     )
 
     if bucket_widths is None:

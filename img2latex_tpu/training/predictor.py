@@ -203,10 +203,13 @@ class Predictor:
         if use_int8_encoder is not None:
             cfg.hardware.int8_encoder = use_int8_encoder
         if config_overrides:
-            from img2latex_tpu.config import set_by_path
+            from img2latex_tpu.config import set_by_path, validate_config
 
             for dotted, value in config_overrides.items():
                 set_by_path(cfg, dotted, value)
+            # Re-validate: an override can violate the schema just like a
+            # YAML load can (e.g. a bad inference.selective_signal).
+            validate_config(cfg)
         tokenizer = LaTeXTokenizer.from_config(meta["tokenizer_config"])
         model = build_model(cfg, tokenizer.vocab_size)
         params = state["params"]
@@ -338,7 +341,17 @@ class Predictor:
             and (jax.default_backend() in ("tpu", "axon") or interp)
         )
         use_pallas = use_pallas_family and dcfg.beam_size == 0 and not dcfg.sampling
-        use_pallas_beam = use_pallas_family and dcfg.beam_size > 0 and not dcfg.sampling
+        use_pallas_beam = (
+            use_pallas_family
+            and dcfg.beam_size > 0
+            and not dcfg.sampling
+            # The whole-greedy kernels emit the "logp" confidence in-kernel;
+            # alternative selective gates (margin/entropy) ride the scan path.
+            and (
+                not (0.0 < dcfg.selective_beam_frac < 1.0)
+                or dcfg.selective_signal == "logp"
+            )
+        )
         use_pallas_sample = (
             use_pallas_family
             and dcfg.sampling
@@ -821,6 +834,7 @@ class Predictor:
                 if selective_beam_frac is not None
                 else getattr(icfg, "selective_beam_frac", 0.0)
             ),
+            selective_signal=getattr(icfg, "selective_signal", "logp"),
         )
         B = batch_size or self.batch_size
         h, w, c = self.cfg.image_shape

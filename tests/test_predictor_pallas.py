@@ -165,3 +165,33 @@ class TestPallasWiring:
         kernels always attend — and the attention params don't exist)."""
         ref, got = _ab(_predictor(memory, attention=False), beam_size=0)
         assert [list(r) for r in ref] == [list(g) for g in got]
+
+
+@pytest.mark.parametrize("memory", ["vector", "grid"])
+class TestSelectiveSignalRouting:
+    """inference.selective_signal=margin/entropy rides the scan path (the
+    kernels emit logp confidence only); outputs keep the selective contract:
+    every row is its greedy or its full-beam decode."""
+
+    @pytest.mark.parametrize("signal", ["margin", "entropy"])
+    def test_scan_semantics(self, memory, signal):
+        pred = _predictor(memory)
+        pred.cfg.inference.selective_signal = signal
+        pred.cfg.hardware.use_pallas_decode = False
+        imgs = _images()
+        greedy = pred.predict_batch(imgs, beam_size=0, return_ids=True)
+        beam = pred.predict_batch(imgs, beam_size=3, return_ids=True)
+        sel = pred.predict_batch(
+            imgs, beam_size=3, selective_beam_frac=0.34, return_ids=True
+        )
+        assert all(s == g or s == b for s, g, b in zip(sel, greedy, beam))
+
+    def test_non_logp_routes_around_kernels(self, memory):
+        """With pallas enabled and a non-logp signal, the selective decode
+        must still match the scan oracle exactly (it routes to the scan)."""
+        pred = _predictor(memory)
+        pred.cfg.inference.selective_signal = "margin"
+        ref, got = _ab(
+            pred, beam_size=3, selective_beam_frac=0.5, length_penalty=1.5
+        )
+        assert [list(r) for r in ref] == [list(g) for g in got]
