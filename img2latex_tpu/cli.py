@@ -202,7 +202,7 @@ def cmd_predict(args: argparse.Namespace) -> int:
                 print(f"{row['image']}\t{row['prediction']}")
         return 0
     predictor = Predictor.from_checkpoint(
-        args.checkpoint, batch_size=args.batch_size,
+        args.checkpoint, batch_size=args.batch_size or 16,
         config_overrides=_parse_overrides(args),
     )
     log_execution_params(
@@ -482,7 +482,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "(the reference's early break; output-identical)")
     pr.add_argument("--length-penalty", type=float, default=None,
                     help="Beam length-normalization exponent")
-    pr.add_argument("--batch-size", type=int, default=16)
+    pr.add_argument("--batch-size", type=int, default=None,
+                    help="Decode chunk size (live default 16; exported "
+                         "artifacts default to their largest exported batch)")
     pr.add_argument("--output", "-o", default=None, help="Write predictions JSON here")
     pr.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                     help="Dotted override applied to the checkpoint's config, "

@@ -454,3 +454,66 @@ def trim_host(tokens: np.ndarray, end_id: int, pad_id: int, start_id: Optional[i
             ids = ids[: ids.index(end_id)]
         out.append([t for t in ids if t != pad_id])
     return out
+
+
+def decode_chunks(plan, rng: jax.Array, stats: Optional[dict] = None):
+    """Pipelined host-prep/device-decode chunk runner (host-side utility).
+
+    ``plan``: sequence of ``(exec_key, run, prep_fn, idxs)`` — ``prep_fn()``
+    returns the chunk's uint8 buffer, ``run(buf, rng)`` is a compiled decode,
+    ``idxs`` the input positions covered.  JAX dispatch is asynchronous, so
+    the loop dispatches chunk *i*, preps chunk *i+1* on the host while the
+    device decodes, and only then fetches chunk *i* (``np.asarray`` blocks) —
+    host PIL prep + upload ride under the device decode.  Shared by the live
+    ``Predictor`` and the serialized-artifact ``ExportedPredictor`` so both
+    serving paths overlap identically.
+
+    ``stats`` (optional, mutated) accumulates the evaluator's throughput
+    accounting: ``prep_s``/``dispatch_s``/``fetch_s`` plus ``first_calls``
+    (one entry per executable; its dispatch wall carries the blocking
+    ``jax.jit`` trace+compile, its images are excluded from
+    ``steady_images``).
+
+    Yields ``(idxs, np.ndarray tokens)`` in plan order.
+    """
+    import time
+
+    seen: set = set()
+    out = []
+    pending = None  # (tokens_dev, idxs, key, first_dispatch_wall | None)
+
+    def _fetch(p) -> None:
+        tokens_dev, idxs, key, dispatch_wall = p
+        t0 = time.perf_counter()
+        arr = np.asarray(tokens_dev)
+        dt = time.perf_counter() - t0
+        if stats is not None:
+            if dispatch_wall is not None:
+                stats.setdefault("first_calls", []).append(
+                    {"exec": str(key), "seconds": dt + dispatch_wall,
+                     "images": len(idxs)}
+                )
+            else:
+                stats["fetch_s"] = stats.get("fetch_s", 0.0) + dt
+                stats["steady_images"] = stats.get("steady_images", 0) + len(idxs)
+        out.append((idxs, arr))
+
+    for key, run, prep_fn, idxs in plan:
+        t0 = time.perf_counter()
+        buf = prep_fn()
+        t1 = time.perf_counter()
+        rng, sub = jax.random.split(rng)
+        tokens = run(jnp.asarray(buf), sub)
+        t2 = time.perf_counter()
+        first = key not in seen
+        seen.add(key)
+        if stats is not None:
+            stats["prep_s"] = stats.get("prep_s", 0.0) + (t1 - t0)
+            if not first:
+                stats["dispatch_s"] = stats.get("dispatch_s", 0.0) + (t2 - t1)
+        if pending is not None:
+            _fetch(pending)
+        pending = (tokens, idxs, key, (t2 - t1) if first else None)
+    if pending is not None:
+        _fetch(pending)
+    return out

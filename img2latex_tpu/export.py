@@ -52,6 +52,7 @@ _DCFG_FIELDS = (
     "beam_size",
     "length_penalty",
     "selective_beam_frac",
+    "selective_signal",
     "early_exit",
 )
 
@@ -205,6 +206,9 @@ def export_checkpoint(
             if selective_beam_frac is not None
             else getattr(icfg, "selective_beam_frac", 0.0)
         ),
+        # Bake the checkpoint's gating signal too — a margin/entropy-gated
+        # config must beam-upgrade the same rows as the live path.
+        selective_signal=getattr(icfg, "selective_signal", "logp"),
         # The fixed-length scan exports everywhere; the while_loop variant
         # would too, but a serving artifact should not make its step count
         # depend on the weights' behavior.
@@ -421,7 +425,21 @@ class ExportedPredictor:
         buckets = self.manifest.get("bucket_widths")
         if buckets and not self.symbolic:
             return self._predict_bucketed(images, buckets, rng, return_ids, batch_size)
-        results: List[Any] = []
+
+        # Host prep pipelines against device decode exactly like the live
+        # Predictor (shared decode_chunks: dispatch i, prep i+1, fetch i).
+        from img2latex_tpu.decoding.decode import decode_chunks
+
+        def make_prep(B, chunk_imgs):
+            def prep():
+                buf = np.zeros((B, h, w, c), dtype=np.uint8)
+                for j, img in enumerate(chunk_imgs):
+                    buf[j] = self._prepare_image(img)
+                return buf
+
+            return prep
+
+        plan = []
         i = 0
         while i < len(images):
             if self.symbolic:
@@ -429,14 +447,13 @@ class ExportedPredictor:
                 B = min(len(images) - i, batch_size or self.batch_size)
             else:
                 B = self._pick_batch(len(images) - i, cap=batch_size)
-            chunk = images[i : i + B]
-            i += len(chunk)
-            buf = np.zeros((B, h, w, c), dtype=np.uint8)
-            for j, img in enumerate(chunk):
-                buf[j] = self._prepare_image(img)
-            rng, sub = jax.random.split(rng)
-            tokens = self._call(B)(jnp.asarray(buf), sub)
-            _trim_extend(results, tokens, len(chunk))
+            n = min(B, len(images) - i)
+            plan.append((B, self._call(B), make_prep(B, images[i : i + n]),
+                         range(i, i + n)))
+            i += n
+        results: List[Any] = []
+        for idxs, tokens in decode_chunks(plan, rng):
+            _trim_extend(results, tokens, len(idxs))
         return results
 
     def _predict_bucketed(
@@ -450,12 +467,11 @@ class ExportedPredictor:
         """Mirror of ``Predictor._predict_bucketed`` over the serialized
         executables: group inputs by the shared ``assign_bucket`` rule,
         decode each group through its bucket's artifact (encoder cost scales
-        with the bucket canvas), reassemble in input order."""
-        import jax
-        import jax.numpy as jnp
-
+        with the bucket canvas), reassemble in input order.  One flat
+        pipelined plan across all groups (shared ``decode_chunks``), like the
+        live path."""
         from img2latex_tpu.data.transforms import assign_bucket
-        from img2latex_tpu.decoding.decode import trim_host
+        from img2latex_tpu.decoding.decode import decode_chunks, trim_host
 
         h, w_full, c = self.manifest["image_shape"]
         tok = self.tokenizer
@@ -465,7 +481,17 @@ class ExportedPredictor:
         for idx, img in enumerate(images):
             bw = assign_bucket(img, bucket_widths, h, w_full, stride, margin)
             groups.setdefault(bw, []).append(idx)
-        results: List[Any] = [None] * len(images)
+
+        def make_prep(B, canvas_w, chunk_idxs):
+            def prep():
+                buf = np.zeros((B, h, canvas_w, c), dtype=np.uint8)
+                for j, idx in enumerate(chunk_idxs):
+                    buf[j] = self._prepare_image(images[idx], canvas_w)
+                return buf
+
+            return prep
+
+        plan = []
         for bw, idxs in groups.items():
             canvas_w = w_full if bw is None else bw + margin
             i = 0
@@ -473,19 +499,18 @@ class ExportedPredictor:
                 B = self._pick_batch(len(idxs) - i, cap=batch_size)
                 chunk = idxs[i : i + B]
                 i += len(chunk)
-                buf = np.zeros((B, h, canvas_w, c), dtype=np.uint8)
-                for j, idx in enumerate(chunk):
-                    buf[j] = self._prepare_image(images[idx], canvas_w)
-                rng, sub = jax.random.split(rng)
-                tokens = self._call(B, bw)(jnp.asarray(buf), sub)
-                id_lists = trim_host(
-                    np.asarray(tokens)[: len(chunk)],
-                    tok.end_token_id,
-                    tok.pad_token_id,
-                    start_id=tok.start_token_id,
-                )
-                for idx, ids in zip(chunk, id_lists):
-                    results[idx] = ids if return_ids else tok.decode(ids)
+                plan.append(((B, bw), self._call(B, bw),
+                             make_prep(B, canvas_w, chunk), chunk))
+        results: List[Any] = [None] * len(images)
+        for chunk, tokens in decode_chunks(plan, rng):
+            id_lists = trim_host(
+                tokens[: len(chunk)],
+                tok.end_token_id,
+                tok.pad_token_id,
+                start_id=tok.start_token_id,
+            )
+            for idx, ids in zip(chunk, id_lists):
+                results[idx] = ids if return_ids else tok.decode(ids)
         return results
 
     def predict(self, image: Any, **kwargs) -> Any:

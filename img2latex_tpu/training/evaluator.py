@@ -119,9 +119,34 @@ def evaluate_checkpoint(
     # ---- optional split-in-HBM cache (data.device_cache) -----------------
     # Single upload of the whole split; the decode loop then reads
     # device-resident uint8 — no steady-state host->device transfers.
+    # Guarded like the Trainer's cache: single-process only, and the split
+    # must fit the HBM budget (explicit knob, else half the free HBM, else
+    # a 2 GiB fallback on backends that report no stats) or we fall back to
+    # the streaming loader instead of OOMing the device.
     use_cache = bool(getattr(cfg.data, "device_cache", False)) and (
         getattr(loader, "process_count", 1) == 1
     )
+    if use_cache:
+        h, w, c = cfg.image_shape
+        n_rows = len(loader.dataset)
+        if max_batches is not None:
+            n_rows = min(n_rows, max_batches * loader.batch_size)
+        est = n_rows * h * w * c
+        knob = getattr(cfg.data, "device_cache_budget_gb", None)
+        if knob:
+            budget = int(knob * 1024**3)
+        else:
+            from img2latex_tpu.utils.device import free_device_memory_bytes
+
+            free = free_device_memory_bytes()
+            budget = int(free * 0.5) if free else 2 * 1024**3
+        if est > budget:
+            logger.warning(
+                "data.device_cache: %s split would use %.2f GiB (> %.2f GiB "
+                "budget); streaming from the host loader instead",
+                split, est / 1024**3, budget / 1024**3,
+            )
+            use_cache = False
     if use_cache:
         t0 = time.perf_counter()
         cached = []

@@ -757,46 +757,17 @@ class Predictor:
         consumed by ``evaluator._finish``:
         ``prep_s`` host image prep; ``dispatch_s`` upload+enqueue;
         ``fetch_s`` blocking device waits *after* each executable's first
-        call; ``first_calls`` list of per-executable first-fetch walls (these
-        carry the XLA compile and are excluded from steady-state numbers);
+        call; ``first_calls`` list of per-executable first-call walls (the
+        first dispatch carries the blocking jax.jit trace+compile, so
+        dispatch+fetch of that call land here, excluded from steady-state);
         ``steady_images`` images outside first calls.
-        """
-        out: List[Tuple[Sequence[int], np.ndarray]] = []
-        seen: set = set()
-        pending: Optional[Tuple[Any, Sequence[int], Any]] = None
 
-        def _fetch(p) -> None:
-            tokens_dev, idxs, key = p
-            t0 = time.perf_counter()
-            arr = np.asarray(tokens_dev)
-            dt = time.perf_counter() - t0
-            if stats is not None:
-                if key not in seen:
-                    stats.setdefault("first_calls", []).append(
-                        {"exec": str(key), "seconds": dt, "images": len(idxs)}
-                    )
-                else:
-                    stats["fetch_s"] = stats.get("fetch_s", 0.0) + dt
-                    stats["steady_images"] = stats.get("steady_images", 0) + len(idxs)
-            seen.add(key)
-            out.append((idxs, arr))
+        Delegates to the shared :func:`decoding.decode.decode_chunks` (also
+        used by ``ExportedPredictor`` so both serving paths overlap
+        identically)."""
+        from img2latex_tpu.decoding.decode import decode_chunks
 
-        for key, run, prep_fn, idxs in plan:
-            t0 = time.perf_counter()
-            buf = prep_fn()
-            t1 = time.perf_counter()
-            rng, sub = jax.random.split(rng)
-            tokens = run(jnp.asarray(buf), sub)
-            t2 = time.perf_counter()
-            if stats is not None:
-                stats["prep_s"] = stats.get("prep_s", 0.0) + (t1 - t0)
-                stats["dispatch_s"] = stats.get("dispatch_s", 0.0) + (t2 - t1)
-            if pending is not None:
-                _fetch(pending)
-            pending = (tokens, idxs, key)
-        if pending is not None:
-            _fetch(pending)
-        return out
+        return decode_chunks(plan, rng, stats)
 
     def predict_batch(
         self,
