@@ -56,6 +56,15 @@ class DataConfig:
     # inside the jitted train step (ops/augment.py) — zero host CPU cost and,
     # unlike host-side `augment`, fully compatible with device_cache.
     augment_device: bool = False
+    # Warp magnitudes for augment/augment_device (defaults mirror the
+    # reference's declared RandomRotation(5)+RandomAffine(0.02),
+    # dataset.py:487-494).  CAUTION on wide canvases: a rotation displaces
+    # the canvas ends vertically by sin(deg)*W/2 — at the flagship's 64x800
+    # canvas 5 degrees moves edge content by +/-35px (half the height) and
+    # measurably HURTS (artifacts/augment_flagship_ab).  Bound it so
+    # sin(deg)*W/2 stays a small fraction of H, e.g. 0.5-1.0 deg at W=800.
+    augment_max_rotate_deg: float = 5.0
+    augment_max_translate_frac: float = 0.02
     # TPU addition: keep the whole train split device-resident (uint8 images
     # + token ids in HBM) and gather each batch on device by a per-epoch
     # permutation.  Zero host->device traffic in steady state — removes the

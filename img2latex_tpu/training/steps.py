@@ -80,7 +80,15 @@ def make_train_step(
 
             # Distinct stream from dropout; still step-deterministic.
             aug_rng = jax.random.fold_in(dropout_rng, 0x617567)
-            images = augment_batch(images, aug_rng, fill=pad_fill)
+            images = augment_batch(
+                images, aug_rng, fill=pad_fill,
+                max_rotate_deg=float(
+                    getattr(cfg.data, "augment_max_rotate_deg", 5.0)
+                ),
+                max_translate_frac=float(
+                    getattr(cfg.data, "augment_max_translate_frac", 0.02)
+                ),
+            )
         images = normalize_images(images, mean, std)
         formulas = batch["formulas"]
         targets = formulas[:, 1:]
