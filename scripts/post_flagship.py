@@ -81,7 +81,7 @@ def main() -> None:
     # 3. gating-signal A/B
     if "signals" not in skip:
         run([py, os.path.join(REPO, "scripts", "selective_signal_ab.py"),
-             args.ckpt, "--data-dir", args.data_dir, "--beam", str(args.beam),
+             args.ckpt, "--data-dir", args.data_dir, "--beam-size", str(args.beam),
              "--length-penalty", str(best_lp),
              "--out", os.path.join(art, "selective_signal_ab.json")])
         with open(os.path.join(art, "selective_signal_ab.json")) as f:
