@@ -314,6 +314,13 @@ class HardwareConfig:
     # sharded shard_map paths) is exercisable on CPU.  Never set in
     # production — interpret mode is orders of magnitude slower.
     pallas_interpret: bool = False
+    # Persistent XLA compilation cache directory ("" disables).  Every
+    # Trainer / Predictor entry point enables it, so repeated invocations
+    # (evaluate sweeps, serving restarts, checkpoint resume) skip the cold
+    # compile — on the tunneled TPU a cold fused-decode-kernel compile runs
+    # minutes, a cache hit seconds.  The reference has no equivalent (eager
+    # torch never compiles); this is the TPU-native restart-latency story.
+    compilation_cache_dir: str = "~/.cache/img2latex_tpu/jax"
 
 
 @dataclass

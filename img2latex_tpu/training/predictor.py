@@ -210,6 +210,9 @@ class Predictor:
             # Re-validate: an override can violate the schema just like a
             # YAML load can (e.g. a bad inference.selective_signal).
             validate_config(cfg)
+        from img2latex_tpu.utils.profiling import enable_compilation_cache
+
+        enable_compilation_cache(cfg.hardware.compilation_cache_dir)
         tokenizer = LaTeXTokenizer.from_config(meta["tokenizer_config"])
         model = build_model(cfg, tokenizer.vocab_size)
         params = state["params"]

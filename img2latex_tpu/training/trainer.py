@@ -79,11 +79,12 @@ class Trainer:
         experiment_name: Optional[str] = None,
     ):
         self.cfg = cfg
-        from img2latex_tpu.utils.profiling import apply_rng_impl
+        from img2latex_tpu.utils.profiling import apply_rng_impl, enable_compilation_cache
 
         # Before any PRNGKey exists: dropout keys derive from the ones made
         # below, so the impl switch must come first.
         apply_rng_impl(cfg.hardware.rng_impl)
+        enable_compilation_cache(cfg.hardware.compilation_cache_dir)
         self.tokenizer = tokenizer
         self.loaders = loaders
         self.model = model or build_model(cfg, tokenizer.vocab_size)

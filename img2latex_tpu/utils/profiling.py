@@ -42,6 +42,26 @@ def apply_numerics_flags(debug_nans: bool) -> None:
         logger.info("jax_debug_nans enabled")
 
 
+def enable_compilation_cache(cache_dir: str) -> None:
+    """Point JAX's persistent compilation cache at ``cache_dir``
+    (``hardware.compilation_cache_dir``; empty string = disabled).
+
+    Idempotent and safe to call after backend init; programs compiled
+    before the call simply aren't cached.  ``min_compile_time_secs=1``
+    keeps trivial CPU/test compiles out of the cache."""
+    if not cache_dir:
+        return
+    import jax
+
+    path = os.path.abspath(os.path.expanduser(cache_dir))
+    if jax.config.jax_compilation_cache_dir == path:
+        return
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    logger.info("persistent compilation cache -> %s", path)
+
+
 def apply_rng_impl(rng_impl: str) -> None:
     """Set the default PRNG bit-generator (``hardware.rng_impl``).
 

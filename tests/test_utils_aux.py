@@ -62,6 +62,34 @@ class TestProfiling:
             jax.jit(lambda x: x * 2)(jnp.ones(4)).block_until_ready()
         assert (tmp_path / "traces" / "t").exists()
 
+    def test_compilation_cache_toggle(self, tmp_path, monkeypatch):
+        import jax
+
+        from img2latex_tpu.utils.profiling import enable_compilation_cache
+
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            # "" disables: no config change, no directory created
+            enable_compilation_cache("")
+            assert jax.config.jax_compilation_cache_dir == prev
+            target = tmp_path / "jaxcache"
+            enable_compilation_cache(str(target))
+            assert jax.config.jax_compilation_cache_dir == str(target)
+            assert target.is_dir()
+            # idempotent second call
+            enable_compilation_cache(str(target))
+            assert jax.config.jax_compilation_cache_dir == str(target)
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+
+    def test_compilation_cache_default_in_config(self):
+        from img2latex_tpu.config import Config, config_from_dict
+
+        assert Config().hardware.compilation_cache_dir  # enabled by default
+        # checkpoints embedding pre-knob configs get the default back
+        cfg = config_from_dict({"hardware": {"compute_dtype": "bfloat16"}})
+        assert cfg.hardware.compilation_cache_dir == Config().hardware.compilation_cache_dir
+
 
 class TestPathsRegistry:
     def test_versioning(self, tmp_path):
