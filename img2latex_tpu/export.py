@@ -332,7 +332,13 @@ class ExportedPredictor:
 
     def __init__(self, manifest: Dict[str, Any], directory: str):
         from img2latex_tpu.data.tokenizer import LaTeXTokenizer
+        from img2latex_tpu.utils.profiling import enable_compilation_cache
 
+        # Serving-restart latency: the artifact's StableHLO still XLA-compiles
+        # per backend at load; cache it like the live paths do.
+        enable_compilation_cache(
+            manifest.get("compilation_cache_dir") or "~/.cache/img2latex_tpu/jax"
+        )
         self.manifest = manifest
         self.directory = directory
         self.tokenizer = LaTeXTokenizer.from_config(manifest["tokenizer_config"])
