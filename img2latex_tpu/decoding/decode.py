@@ -62,9 +62,12 @@ class DecodeConfig:
     #   "logp"    — chosen-token log-prob (the kernels emit this in-kernel)
     #   "margin"  — log-prob gap between the top-1 and top-2 tokens
     #   "entropy" — negative entropy of the step distribution
-    # Measured on the flagship checkpoints (scripts/selective_signal_ab.py);
-    # non-"logp" signals route the greedy pass through the scan decode.
-    selective_signal: str = "logp"
+    # Measured on the CNN flagship (scripts/selective_signal_ab.py,
+    # artifacts/mathtext_hard_grid_v2/selective_signal_ab.json): margin
+    # captures 32/48/55/74% of beam's BLEU gain at frac 0.1/0.2/0.3/0.5 vs
+    # logp's 22/38/50/70% — margin is the default.  All three signals run
+    # in-kernel on the Pallas whole-decode paths (decode_step._decode_loop).
+    selective_signal: str = "margin"
     # Stop the decode loop as soon as every sequence has emitted END — the
     # reference's all-finished early break (``seq2seq.py:219-221``,
     # ``predictor.py:337-347``), as a ``lax.while_loop`` instead of the fixed

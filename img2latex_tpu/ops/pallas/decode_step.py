@@ -240,6 +240,7 @@ def _decode_loop(
     pad_id: int,
     early_exit: bool,
     score_ref=None,
+    signal: str = "logp",
 ):
     """The whole-decode loop body shared by every (greedy | sampling) x
     (vector | grid) kernel: one-hot embedding matmul, context from
@@ -248,13 +249,21 @@ def _decode_loop(
     stack, vocab projection, then ``next_token`` picks (argmax or a
     filtered Gumbel-max draw).
 
-    ``score_ref`` (optional, (1, B) f32 VMEM): accumulates the sequence
-    log-probability — sum over emitting steps of ``log_softmax(logits)`` at
-    the chosen token (END included, post-END PAD steps masked).  The
-    selective-beam path ranks sequences by this confidence to choose which
-    rows get a beam re-decode (``predictor.py``).  The padded vocab columns
-    carry a ~-1e30 bias (``pack_decoder_weights``) so they vanish from the
-    logsumexp.
+    ``score_ref`` (optional, (1, B) f32 VMEM): accumulates the per-sequence
+    confidence — sum over emitting steps (END included, post-END PAD steps
+    masked) of the per-step ``signal``:
+
+      * ``"logp"``    — ``log_softmax(logits)`` at the chosen token;
+      * ``"margin"``  — top-1 minus top-2 logit (== the log-prob gap: the
+        logsumexp cancels), the measured-best selective-beam gate
+        (``scripts/selective_signal_ab.py``);
+      * ``"entropy"`` — negative entropy of the step distribution.
+
+    The selective-beam path ranks sequences by this confidence to choose
+    which rows get a beam re-decode (``predictor.py``).  The padded vocab
+    columns carry a ~-1e30 bias (``pack_decoder_weights``) so they vanish
+    from the logsumexp (and contribute ``exp(-big) * logp == 0`` to the
+    entropy sum; the margin mask reuses the same ~-1e30 scale).
 
     Mosaic notes (the first version crashed the on-chip compiler): the token
     stream is written **time-major** so the per-step dynamic store
@@ -301,14 +310,33 @@ def _decode_loop(
         logits = jnp.dot(x, w_out_ref[:], preferred_element_type=jnp.float32) + b_out_ref[:]
         nxt = next_token(t, logits)
         if score_ref is not None:
-            # log-prob of the chosen token, masked on already-finished rows.
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
-            chosen = jnp.sum(
-                jnp.where(col == nxt, logits, 0.0), axis=-1, keepdims=True
-            )  # (B, 1)
+            # per-step confidence signal, masked on already-finished rows.
             live = (1 - finished).astype(jnp.float32)
-            score_ref[...] += ((chosen - lse) * live).reshape(1, B)
+            if signal == "margin":
+                # top-1 − top-2 logit; mask the chosen (argmax) column with
+                # the same ~-1e30 scale the vocab padding uses (Mosaic-safe,
+                # no inf literals).  Greedy's nxt IS the argmax, so the
+                # remaining max is the second-best logit; on exact ties the
+                # masked column's twin survives and the margin is 0 — the
+                # same value lax.top_k gives the scan oracle.
+                top1 = jnp.max(logits, axis=-1, keepdims=True)
+                rest = jnp.where(col == nxt, -1e30, logits)
+                step = top1 - jnp.max(rest, axis=-1, keepdims=True)
+            elif signal == "entropy":
+                # negative entropy (smaller = more entropic = less
+                # confident, matching the bottom-k rule).
+                m = jnp.max(logits, axis=-1, keepdims=True)
+                lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+                logp = logits - lse
+                step = jnp.sum(jnp.exp(logp) * logp, axis=-1, keepdims=True)
+            else:  # "logp": log-prob of the chosen token
+                m = jnp.max(logits, axis=-1, keepdims=True)
+                lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+                chosen = jnp.sum(
+                    jnp.where(col == nxt, logits, 0.0), axis=-1, keepdims=True
+                )  # (B, 1)
+                step = chosen - lse
+            score_ref[...] += (step * live).reshape(1, B)
         # finished-select and END-absorption in int32 arithmetic (no bools).
         out_tok = finished * jnp.int32(pad_id) + (1 - finished) * nxt
         finished = jnp.maximum(finished, (out_tok == end_id).astype(jnp.int32))
@@ -370,6 +398,7 @@ def _full_decode_kernel(
     pad_id: int,
     early_exit: bool,
     with_score: bool,
+    signal: str,
     *refs,
 ):
     """Entire greedy decode loop in ONE kernel: weights stay VMEM-resident
@@ -395,6 +424,7 @@ def _full_decode_kernel(
         out_ref, h_ref, c_ref,
         num_layers, max_length, start_id, end_id, pad_id, early_exit,
         score_ref=out_extra[0] if with_score else None,
+        signal=signal,
     )
 
 
@@ -409,12 +439,13 @@ def pallas_full_greedy_decode(
     batch_tile: int = 256,
     early_exit: bool = False,
     return_scores: bool = False,
+    signal: str = "logp",
 ) -> jnp.ndarray:
     """Whole-decode-in-one-kernel variant of :func:`pallas_greedy_decode`.
 
-    ``return_scores=True`` additionally returns the per-sequence sum of
-    chosen-token log-probs ((B,) f32 — see ``_decode_loop``'s ``score_ref``),
-    the confidence signal the selective-beam path ranks on.
+    ``return_scores=True`` additionally returns the per-sequence confidence
+    ((B,) f32 — the sum of the per-step ``signal``, see ``_decode_loop``'s
+    ``score_ref``) the selective-beam path ranks on.
 
     ``early_exit=True`` swaps the in-kernel fori_loop for a while_loop that
     bails out once every row in the tile has emitted END (tail rows are
@@ -441,7 +472,7 @@ def pallas_full_greedy_decode(
     dtype = packed["emb"].dtype
     kernel = functools.partial(
         _full_decode_kernel, L, max_length, start_id, end_id, pad_id, early_exit,
-        return_scores,
+        return_scores, signal,
     )
     weight_args: List[jnp.ndarray] = [packed["emb"]]
     for i in range(L):

@@ -143,6 +143,7 @@ def _grid_greedy_kernel(
     pad_id: int,
     early_exit: bool,
     with_score: bool,
+    signal: str,
     *refs,
 ):
     """refs: [mem (B,S,E)] [u (B,S,A)] [emb (Vp,E)] [w_ih_i w_hh_i b_i]*L
@@ -170,6 +171,7 @@ def _grid_greedy_kernel(
         emb_ref, layer_refs, w_out_ref, b_out_ref, out_ref, h_ref, c_ref,
         num_layers, max_length, start_id, end_id, pad_id, early_exit,
         score_ref=out_extra[0] if with_score else None,
+        signal=signal,
     )
 
 
@@ -328,14 +330,15 @@ def pallas_full_grid_greedy_decode(
     batch_tile: int = 0,
     early_exit: bool = False,
     return_scores: bool = False,
+    signal: str = "logp",
 ) -> jnp.ndarray:
     """Grid-memory analog of ``pallas_full_greedy_decode``: returns (B, T)
     int32 tokens, semantically identical to the scan path
     (``greedy_sample_decode`` over ``Seq2SeqModel.decode_step``).
 
     ``return_scores=True`` additionally returns the (B,) f32 per-sequence
-    sum of chosen-token log-probs (``_decode_loop``'s ``score_ref``) — the
-    selective-beam confidence signal."""
+    confidence (sum of the per-step ``signal`` — logp/margin/entropy, see
+    ``_decode_loop``) the selective-beam path ranks on."""
     B, S, E = memory.shape
     L = int(packed["num_layers"])
     H = int(packed["hidden_dim"])
@@ -344,7 +347,7 @@ def pallas_full_grid_greedy_decode(
         batch_tile = _auto_tile(packed, att, S, batch=B)
     kernel = functools.partial(
         _grid_greedy_kernel, L, max_length, start_id, end_id, pad_id, early_exit,
-        return_scores,
+        return_scores, signal,
     )
     weight_args: List[jnp.ndarray] = [packed["emb"]]
     for i in range(L):

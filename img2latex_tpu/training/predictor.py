@@ -348,12 +348,6 @@ class Predictor:
             use_pallas_family
             and dcfg.beam_size > 0
             and not dcfg.sampling
-            # The whole-greedy kernels emit the "logp" confidence in-kernel;
-            # alternative selective gates (margin/entropy) ride the scan path.
-            and (
-                not (0.0 < dcfg.selective_beam_frac < 1.0)
-                or dcfg.selective_signal == "logp"
-            )
         )
         use_pallas_sample = (
             use_pallas_family
@@ -462,7 +456,7 @@ class Predictor:
                             pk, att, memory, dcfg.max_length, dcfg.start_id,
                             dcfg.end_id, dcfg.pad_id,
                             early_exit=dcfg.early_exit, interpret=interp,
-                            return_scores=True,
+                            return_scores=True, signal=dcfg.selective_signal,
                         )
                         k = max(1, math.ceil(frac * memory.shape[0]))
                         idx = select_uncertain(tokens_g, scores, k, dcfg.pad_id)
@@ -490,7 +484,7 @@ class Predictor:
                             wts, ctx, dcfg.max_length, dcfg.start_id,
                             dcfg.end_id, dcfg.pad_id,
                             early_exit=dcfg.early_exit, interpret=interp,
-                            return_scores=True,
+                            return_scores=True, signal=dcfg.selective_signal,
                         )
                         k = max(1, math.ceil(frac * ctx.shape[0]))
                         idx = select_uncertain(tokens_g, scores, k, dcfg.pad_id)

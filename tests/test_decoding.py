@@ -511,12 +511,21 @@ class TestSelectiveSignals:
                 want = (np.exp(logp) * logp).sum(-1)
             np.testing.assert_allclose(np.asarray(scores), want, rtol=1e-5, atol=1e-6)
 
-    def test_logp_signal_unchanged_by_default(self):
-        """Default stays the kernel-oracle logp sum."""
+    def test_margin_is_default_and_logp_available(self):
+        """Default is the measured-best margin gate (selective_signal_ab);
+        logp stays available and keeps its sign contract."""
         emb, W = make_dynamics()
         cfg = DecodeConfig(max_length=6, start_id=START, end_id=END, pad_id=PAD)
-        assert cfg.selective_signal == "logp"
+        assert cfg.selective_signal == "margin"
         _, scores = greedy_sample_decode(
             jax_step_fn(emb, W), jnp.zeros((3, H)), 3, cfg, return_scores=True
         )
-        assert scores.shape == (3,) and np.all(np.asarray(scores) <= 0.0)
+        assert scores.shape == (3,) and np.all(np.asarray(scores) >= 0.0)
+        cfg_logp = DecodeConfig(
+            max_length=6, start_id=START, end_id=END, pad_id=PAD,
+            selective_signal="logp",
+        )
+        _, s2 = greedy_sample_decode(
+            jax_step_fn(emb, W), jnp.zeros((3, H)), 3, cfg_logp, return_scores=True
+        )
+        assert np.all(np.asarray(s2) <= 0.0)

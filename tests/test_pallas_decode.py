@@ -159,31 +159,38 @@ class TestGreedyScores:
     (the selective-beam confidence) must match the scan oracle exactly at
     f32, including under batch tiling and early_exit."""
 
-    def _oracle(self, setup, T=20):
+    def _oracle(self, setup, T=20, signal="logp"):
         cfg, model, params, memory, packed, V = setup
         B = memory.shape[0]
 
         def step_fn(tokens, carry):
             return model.apply(params, memory, tokens, carry, method=Seq2SeqModel.decode_step)
 
-        dcfg = DecodeConfig(max_length=T, start_id=1, end_id=2, pad_id=0)
+        dcfg = DecodeConfig(
+            max_length=T, start_id=1, end_id=2, pad_id=0, selective_signal=signal
+        )
         return greedy_sample_decode(
             step_fn, init_decoder_carry(2, B, 128), B, dcfg, return_scores=True
         )
 
-    def test_scores_match_scan_oracle(self, setup):
+    @pytest.mark.parametrize("signal", ["logp", "margin", "entropy"])
+    def test_scores_match_scan_oracle(self, setup, signal):
         from img2latex_tpu.ops.pallas.decode_step import pallas_full_greedy_decode
 
         _, _, _, memory, packed, _ = setup
-        ref_tokens, ref_scores = self._oracle(setup)
+        ref_tokens, ref_scores = self._oracle(setup, signal=signal)
         got_tokens, got_scores = pallas_full_greedy_decode(
-            packed, memory[:, 0, :], 20, 1, 2, 0, interpret=True, return_scores=True
+            packed, memory[:, 0, :], 20, 1, 2, 0, interpret=True,
+            return_scores=True, signal=signal,
         )
         np.testing.assert_array_equal(np.asarray(ref_tokens), np.asarray(got_tokens))
         np.testing.assert_allclose(
             np.asarray(ref_scores), np.asarray(got_scores), atol=1e-4
         )
-        assert np.all(np.asarray(got_scores) <= 0.0)  # log-probs
+        if signal == "logp":
+            assert np.all(np.asarray(got_scores) <= 0.0)  # log-probs
+        elif signal == "margin":
+            assert np.all(np.asarray(got_scores) >= 0.0)  # top1-top2 gaps
 
     def test_scores_under_tiling_and_early_exit(self, setup):
         from img2latex_tpu.ops.pallas.decode_step import pallas_full_greedy_decode

@@ -133,12 +133,16 @@ class TestGridGreedyKernel:
 
 
 class TestGridGreedyScores:
-    def test_scores_match_scan_oracle(self, setup):
-        """Kernel confidence (sum chosen-token log-prob) == scan oracle at
-        f32, incl. under tiling + early_exit (selective-beam signal)."""
+    @pytest.mark.parametrize("signal", ["logp", "margin", "entropy"])
+    def test_scores_match_scan_oracle(self, setup, signal):
+        """Kernel confidence (per-step logp/margin/entropy sums) == scan
+        oracle at f32, incl. under tiling + early_exit (selective-beam
+        signal)."""
         cfg, model, params, memory, packed, att, V = setup
         B = memory.shape[0]
-        dcfg = DecodeConfig(max_length=20, start_id=1, end_id=2, pad_id=0)
+        dcfg = DecodeConfig(
+            max_length=20, start_id=1, end_id=2, pad_id=0, selective_signal=signal
+        )
 
         def step_fn(tokens, carry):
             return model.apply(params, memory, tokens, carry, method=Seq2SeqModel.decode_step)
@@ -149,14 +153,15 @@ class TestGridGreedyScores:
             B, dcfg, return_scores=True,
         )
         got_t, got_s = pallas_full_grid_greedy_decode(
-            packed, att, memory, 20, 1, 2, 0, interpret=True, return_scores=True
+            packed, att, memory, 20, 1, 2, 0, interpret=True,
+            return_scores=True, signal=signal,
         )
         np.testing.assert_array_equal(np.asarray(ref_t), np.asarray(got_t))
         np.testing.assert_allclose(np.asarray(ref_s), np.asarray(got_s), atol=1e-4)
         for kw in ({"batch_tile": 3}, {"early_exit": True}):
             t2, s2 = pallas_full_grid_greedy_decode(
                 packed, att, memory, 20, 1, 2, 0, interpret=True,
-                return_scores=True, **kw,
+                return_scores=True, signal=signal, **kw,
             )
             np.testing.assert_array_equal(np.asarray(got_t), np.asarray(t2))
             np.testing.assert_allclose(np.asarray(got_s), np.asarray(s2), atol=1e-5)

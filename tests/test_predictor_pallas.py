@@ -169,9 +169,11 @@ class TestPallasWiring:
 
 @pytest.mark.parametrize("memory", ["vector", "grid"])
 class TestSelectiveSignalRouting:
-    """inference.selective_signal=margin/entropy rides the scan path (the
-    kernels emit logp confidence only); outputs keep the selective contract:
-    every row is its greedy or its full-beam decode."""
+    """inference.selective_signal=margin/entropy: the whole-greedy kernels
+    emit all three confidence signals in-kernel (decode_step._decode_loop),
+    so the kernel selective path must match the scan path exactly at f32,
+    and outputs keep the selective contract: every row is its greedy or its
+    full-beam decode."""
 
     @pytest.mark.parametrize("signal", ["margin", "entropy"])
     def test_scan_semantics(self, memory, signal):
@@ -186,11 +188,13 @@ class TestSelectiveSignalRouting:
         )
         assert all(s == g or s == b for s, g, b in zip(sel, greedy, beam))
 
-    def test_non_logp_routes_around_kernels(self, memory):
-        """With pallas enabled and a non-logp signal, the selective decode
-        must still match the scan oracle exactly (it routes to the scan)."""
+    @pytest.mark.parametrize("signal", ["margin", "entropy"])
+    def test_signals_kernel_matches_scan(self, memory, signal):
+        """With pallas enabled and a non-logp signal, the in-kernel
+        confidence must rank rows identically to the scan oracle — same
+        selected set, token-identical output."""
         pred = _predictor(memory)
-        pred.cfg.inference.selective_signal = "margin"
+        pred.cfg.inference.selective_signal = signal
         ref, got = _ab(
             pred, beam_size=3, selective_beam_frac=0.5, length_penalty=1.5
         )
