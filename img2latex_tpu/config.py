@@ -47,6 +47,14 @@ class DataConfig:
     load_in_memory: bool = False
     persistent_workers: bool = True
     pin_memory: bool = False
+    # TPU addition: persist the prepared uint8 canvases (post decode/resize/
+    # pad) to a memory-mapped .npy per split, keyed by (image dir, sample
+    # list, canvas geometry).  The PIL pass is paid ONCE per corpus ever —
+    # later trainer/evaluator cache builds and bucketed evals read straight
+    # from the mmap (the disk-persistent variant of the reference's
+    # load_in_memory preload, dataset.py:166-212).  Skipped for host-side
+    # `augment` (per-epoch images); composes with augment_device.
+    canvas_cache_dir: Optional[str] = None
     # TPU addition: host-side prefetch depth of device batches.
     device_prefetch: int = 2
     # TPU addition: train-time augmentation (the reference ships augmentation
@@ -188,11 +196,12 @@ class InferenceConfig:
     # chosen-token log-prob) with the full beam.  Near-beam BLEU at
     # near-greedy throughput; 0 (or >=1) = plain beam when beam_size > 0.
     selective_beam_frac: float = 0.0
-    # Confidence signal the selective gate ranks rows by: "logp" (mean
-    # chosen-token log-prob; in-kernel fast path), "margin" (mean top1-top2
-    # log-prob gap), or "entropy" (mean negative step entropy).  Non-"logp"
-    # signals run the greedy pass on the scan path.
-    selective_signal: str = "logp"
+    # Confidence signal the selective gate ranks rows by: "margin" (mean
+    # top1-top2 log-prob gap; the measured-best gate on the flagship —
+    # selective_signal_ab.json), "logp" (mean chosen-token log-prob), or
+    # "entropy" (mean negative step entropy).  All three run in-kernel on
+    # the Pallas whole-decode paths.
+    selective_signal: str = "margin"
     # Stop greedy/sampling decode once every sequence emitted END (the
     # reference's all-finished early break) — output-identical, faster on
     # trained models; routes around the fixed-length Pallas fast path.

@@ -86,6 +86,7 @@ class Im2LatexDataset:
         load_in_memory: bool = False,
         augment: bool = False,
         seed: int = 0,
+        canvas_cache_dir: Optional[str] = None,
     ):
         self.samples = parse_split_file(split_file, len(formulas))
         self.formulas = formulas
@@ -102,6 +103,22 @@ class Im2LatexDataset:
         self._aug_spawn_lock = threading.Lock()
         self._aug_local = threading.local()
         self._cache: Optional[List[np.ndarray]] = None
+        # Disk-persistent prepared-canvas cache (data.canvas_cache_dir): the
+        # PIL decode/resize/pad pass runs once per (corpus, geometry) ever;
+        # every later pass — trainer/evaluator device_cache builds, bucketed
+        # eval, repeated benches — reads the memory-mapped uint8 array.
+        # Host-side augmentation changes pixels per epoch, so it skips the
+        # cache (device-side augment_device composes fine: host canvases
+        # stay deterministic).
+        self._mmap: Optional[np.ndarray] = None
+        if canvas_cache_dir and not augment:
+            try:
+                self._mmap = self._open_canvas_cache(canvas_cache_dir)
+            except Exception:
+                logger.warning(
+                    "canvas cache unavailable at %s; falling back to per-image "
+                    "loads", canvas_cache_dir, exc_info=True,
+                )
         if load_in_memory and not augment:
             # RAM estimate before preloading (reference interactive confirm,
             # dataset.py:166-212; non-interactive here: warn + skip if the
@@ -121,10 +138,47 @@ class Im2LatexDataset:
                     avail / 1e9,
                 )
             else:
-                self._cache = [self._load_image(i) for i in range(len(self.samples))]
+                self._cache = [self.image(i) for i in range(len(self.samples))]
 
     def __len__(self) -> int:
         return len(self.samples)
+
+    def _open_canvas_cache(self, cache_dir: str) -> np.ndarray:
+        """mmap the prepared-canvas array for this split, building it on the
+        first miss.  The key covers everything that determines canvas bytes
+        (sample names, image dir, geometry, pad value), so a changed split
+        or canvas gets a fresh file; concurrent builders race benignly
+        (per-pid tmp file + atomic ``os.replace``)."""
+        import hashlib
+        import time
+
+        h, w = self.img_size
+        key_src = "\n".join(name for name, _ in self.samples) + (
+            f"|{os.path.abspath(self.img_dir)}|{h}x{w}x{self.channels}"
+            f"|pad{self.pad_value}|v1"
+        )
+        key = hashlib.sha1(key_src.encode()).hexdigest()[:16]
+        path = os.path.join(cache_dir, f"canvas_{key}.npy")
+        if not os.path.exists(path):
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            arr = np.lib.format.open_memmap(
+                tmp, mode="w+", dtype=np.uint8,
+                shape=(len(self.samples), h, w, self.channels),
+            )
+            t0 = time.perf_counter()
+            for i in range(len(self.samples)):
+                arr[i] = self._load_image(i)
+            arr.flush()
+            del arr
+            os.replace(tmp, path)
+            logger.info(
+                "canvas cache built: %s (%d canvases, %.0f MB, %.1f s)",
+                path, len(self.samples),
+                len(self.samples) * h * w * self.channels / 1e6,
+                time.perf_counter() - t0,
+            )
+        return np.load(path, mmap_mode="r")
 
     def _aug_rng(self) -> np.random.Generator:
         rng = getattr(self._aug_local, "rng", None)
@@ -168,6 +222,8 @@ class Im2LatexDataset:
     def image(self, i: int) -> np.ndarray:
         if self._cache is not None:
             return self._cache[i]
+        if self._mmap is not None:
+            return np.asarray(self._mmap[i])
         return self._load_image(i)
 
     def token_ids(self, i: int) -> np.ndarray:
@@ -371,6 +427,7 @@ def create_data_loaders(
             load_in_memory=cfg.data.load_in_memory,
             augment=cfg.data.augment and split == "train",
             seed=cfg.training.seed,
+            canvas_cache_dir=getattr(cfg.data, "canvas_cache_dir", None),
         )
         is_train = split == "train"
         loaders[split] = BatchLoader(

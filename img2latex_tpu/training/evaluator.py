@@ -165,7 +165,14 @@ def evaluate_checkpoint(
     all_preds, all_tgts, rows = [], [], []
     n_images = 0
     run = None
-    rng = jax.random.PRNGKey(0)
+    # One up-front split for every batch: a per-batch jax.random.split is a
+    # tiny device program whose dispatch costs ~2 RTTs per batch on remoted
+    # backends (the axon tunnel) — measured as seconds of untracked loop
+    # time at 8k-image scale.
+    n_b = len(cached) if use_cache else len(loader)
+    if max_batches is not None:
+        n_b = min(n_b, max_batches)
+    keys = list(jax.random.split(jax.random.PRNGKey(0), max(n_b, 1)))
     sample_offset = 0
     ds = loader.dataset
     pending = None  # (tokens_dev, n_local, row_base) awaiting fetch
@@ -218,7 +225,7 @@ def evaluate_checkpoint(
         # multi-host runs (the Trainer does the same, trainer.py n_valid_local).
         n_valid = int(batch.get("n_valid", B))
         n_local = int(batch.get("n_valid_local", n_valid))
-        rng, sub = jax.random.split(rng)
+        sub = keys[bi % len(keys)]
         t0 = time.perf_counter()
         images = batch.get("_images_dev")
         if images is None:
@@ -295,6 +302,21 @@ def _finish(cfg, tok, split, all_preds, all_tgts, rows, n_images, stats,
         "host_post_seconds": stats.get("post_s", 0.0),
         "input_wait_seconds": stats.get("input_wait_s", 0.0),
         "cache_build_seconds": stats.get("cache_build_s", 0.0),
+        # Wall time no bucket claims: per-batch python bookkeeping plus, on
+        # remoted backends, dispatch-side RTTs.  Kept explicit so a growing
+        # gap is visible in the artifact instead of silently inflating
+        # images_per_second's denominator.
+        "host_other_seconds": max(
+            wall_s
+            - compile_s
+            - stats.get("cache_build_s", 0.0)
+            - (stats.get("dispatch_s", 0.0) + stats.get("fetch_s", 0.0))
+            - stats.get("post_s", 0.0)
+            - stats.get("prep_s", 0.0)
+            - stats.get("bucket_assign_s", 0.0)
+            - stats.get("input_wait_s", 0.0),
+            0.0,
+        ),
         "steady_images": steady_images,
         "images_per_second": ips,
         "images_per_second_decode_only": ips_decode,

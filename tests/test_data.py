@@ -212,6 +212,51 @@ class TestPipeline:
             channels=1,
         )
 
+    def _cache_dataset(self, corpus, cache_dir, img_size=(32, 128), augment=False):
+        import os
+
+        formulas = read_formulas(os.path.join(corpus, "im2latex_formulas.norm.lst"))
+        tok = LaTeXTokenizer(max_sequence_length=20)
+        tok.fit(formulas)
+        return Im2LatexDataset(
+            os.path.join(corpus, "im2latex_train_filter.lst"),
+            formulas,
+            os.path.join(corpus, "img"),
+            tok,
+            img_size=img_size,
+            channels=1,
+            augment=augment,
+            canvas_cache_dir=str(cache_dir),
+        )
+
+    def test_canvas_cache_identical_and_reused(self, corpus, tmp_path):
+        """data.canvas_cache_dir: byte-identical canvases; the second open
+        reads the mmap without touching PIL (a poisoned _load_image proves
+        it); a different geometry keys a different file."""
+        import os
+
+        plain = self._dataset(corpus)
+        cached = self._cache_dataset(corpus, tmp_path / "cc")
+        files = os.listdir(tmp_path / "cc")
+        assert len(files) == 1 and files[0].startswith("canvas_")
+        for i in range(len(plain)):
+            np.testing.assert_array_equal(plain.image(i), cached.image(i))
+
+        reopened = self._cache_dataset(corpus, tmp_path / "cc")
+        reopened._load_image = None  # would raise if any image were PIL-loaded
+        np.testing.assert_array_equal(plain.image(3), reopened.image(3))
+
+        other = self._cache_dataset(corpus, tmp_path / "cc", img_size=(16, 64))
+        assert other.image(0).shape == (16, 64, 1)
+        assert len(os.listdir(tmp_path / "cc")) == 2
+
+    def test_canvas_cache_skipped_under_host_augment(self, corpus, tmp_path):
+        import os
+
+        ds = self._cache_dataset(corpus, tmp_path / "cc2", augment=True)
+        assert ds._mmap is None
+        assert not os.path.exists(tmp_path / "cc2")
+
     def test_loader_early_break_reaps_producer(self, corpus):
         """Abandoning the iterator (evaluator max_batches, mid-epoch error)
         must not leak the producer thread or its decode pool."""
