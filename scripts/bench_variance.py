@@ -15,8 +15,28 @@ import os
 import statistics
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _one_run(retries: int = 2, cooldown_s: float = 30.0) -> dict:
+    """One bench.py subprocess -> its JSON line.  The tunnel occasionally
+    refuses a fresh session right after the previous process exits; retry
+    after a cooldown instead of crashing the whole N-run sweep."""
+    last_err = ""
+    for attempt in range(retries + 1):
+        r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                           capture_output=True, text=True)
+        lines = [ln for ln in r.stdout.splitlines() if ln.strip().startswith("{")]
+        if lines:
+            return json.loads(lines[-1])
+        last_err = (r.stderr or r.stdout or "")[-2000:]
+        print(f"  bench.py produced no JSON (rc={r.returncode}); "
+              f"retry {attempt + 1}/{retries} after {cooldown_s:.0f}s\n{last_err}",
+              flush=True)
+        time.sleep(cooldown_s)
+    raise RuntimeError(f"bench.py failed {retries + 1} times; last stderr:\n{last_err}")
 
 
 def main() -> None:
@@ -27,10 +47,7 @@ def main() -> None:
 
     runs = []
     for i in range(args.n):
-        r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                           capture_output=True, text=True)
-        line = [ln for ln in r.stdout.splitlines() if ln.strip().startswith("{")][-1]
-        row = json.loads(line)
+        row = _one_run()
         runs.append(row)
         print(f"run {i + 1}/{args.n}: {row['value']:.0f} {row['unit']}", flush=True)
 
