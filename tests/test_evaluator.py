@@ -60,6 +60,19 @@ class TestEvaluator:
         assert out["decode"]["beam_size"] == 2
         assert out["num_images"] == 8
 
+    def test_device_cache_eval_matches_streaming(self, trained_ckpt):
+        """data.device_cache=true (one stacked upload, device-side batch
+        views) must produce identical metrics to the streaming loader."""
+        ckpt, corpus, _ = trained_ckpt
+        plain = evaluate_checkpoint(ckpt, data_dir=corpus, split="test")
+        cached = evaluate_checkpoint(
+            ckpt, data_dir=corpus, split="test",
+            config_overrides={"data.device_cache": True},
+        )
+        assert cached["num_images"] == plain["num_images"] == 8
+        assert cached["bleu"] == pytest.approx(plain["bleu"], abs=1e-9)
+        assert cached["cache_build_seconds"] > 0.0
+
     def test_max_batches_cap(self, trained_ckpt):
         ckpt, corpus, _ = trained_ckpt
         out = evaluate_checkpoint(
