@@ -72,6 +72,10 @@ def pack_attention_weights(params: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[s
     and ``w_m`` (E, A) folded into the once-per-batch memory projection.
     """
     cell = params["params"]["decoder"]["cell"] if "params" in params else params["decoder"]["cell"]
+    # Batched host fetch (see pack_decoder_weights): the attention + LSTM
+    # leaves land in one staged device_get instead of serial syncs.
+    att = jax.device_get({"attention": cell["attention"], "W_hh_l0": cell["lstm"]["W_hh_l0"]})
+    cell = {**cell, "attention": att["attention"], "lstm": {**cell["lstm"], "W_hh_l0": att["W_hh_l0"]}}
     att = cell["attention"]
     kern = np.asarray(att["attn"]["kernel"], np.float32)  # (H+E, A)
     bias = np.asarray(att["attn"]["bias"], np.float32)  # (A,)

@@ -231,7 +231,13 @@ def evaluate_checkpoint(
             break
         B = batch["images"].shape[0]
         if run is None:
+            # One-time: builds the decode callable — packs the decoder
+            # weights (host work + device uploads), so it costs real
+            # seconds on remoted backends.  Tracked as setup_seconds, NOT
+            # left to leak into the steady window unattributed.
+            t_setup = time.perf_counter()
             run = pred._decode_fn(B, dcfg)
+            stats["setup_s"] = time.perf_counter() - t_setup
         # n_valid is the GLOBAL count; this process's rows are n_valid_local
         # (equal on single-process runs).  Slice/count with the local number
         # — the global one would clamp silently and double-count images on
@@ -319,9 +325,11 @@ def _finish(cfg, tok, split, all_preds, all_tgts, rows, n_images, stats,
         # remoted backends, dispatch-side RTTs.  Kept explicit so a growing
         # gap is visible in the artifact instead of silently inflating
         # images_per_second's denominator.
+        "setup_seconds": stats.get("setup_s", 0.0),
         "host_other_seconds": max(
             wall_s
             - compile_s
+            - stats.get("setup_s", 0.0)
             - stats.get("cache_build_s", 0.0)
             - (stats.get("dispatch_s", 0.0) + stats.get("fetch_s", 0.0))
             - stats.get("post_s", 0.0)
@@ -333,12 +341,26 @@ def _finish(cfg, tok, split, all_preds, all_tgts, rows, n_images, stats,
         "steady_images": steady_images,
         "images_per_second": ips,
         "images_per_second_decode_only": ips_decode,
+        # The repeated-eval / serving regime: split already device-resident
+        # and the decode callable already built — what a second evaluate of
+        # the same split (or a long-lived server) sustains.  Excludes the
+        # one-time cache upload + setup on top of the compile exclusion.
+        "images_per_second_resident": (
+            steady_images / max(
+                steady_wall - stats.get("cache_build_s", 0.0) - stats.get("setup_s", 0.0),
+                1e-9,
+            )
+            if steady_images > 0 and steady_wall > 0
+            else ips
+        ),
         "images_per_second_includes_compile": includes_compile,
         "accounting": (
             "images_per_second = steady end-to-end: (num_images - first-call "
             "images) / (end_to_end_seconds - compile_and_first_batch_seconds); "
             "images_per_second_decode_only divides the same images by "
-            "decode_seconds (device dispatch + blocking wait only)"
+            "decode_seconds (device dispatch + blocking wait only); "
+            "images_per_second_resident additionally excludes the one-time "
+            "cache_build_seconds + setup_seconds (the repeated-eval regime)"
         ),
         "bucketed": bucketed,
         "decode": {

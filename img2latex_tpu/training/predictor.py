@@ -149,6 +149,7 @@ class Predictor:
         self.tokenizer = tokenizer
         self.batch_size = batch_size
         self._jit_cache: Dict[Any, Any] = {}
+        self._pack_cache: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
     @classmethod
@@ -228,6 +229,29 @@ class Predictor:
         if self.batch_stats:
             v["batch_stats"] = self.batch_stats
         return v
+
+    def _packed_decoder(self, dtype):
+        """``pack_decoder_weights``, cached per dtype: packing fetches the
+        decoder tree from the device (real seconds on remoted backends) and
+        nothing in it depends on the decode config, so the battery's many
+        (batch, dcfg) executables share one pack."""
+        key = ("dec", jnp.dtype(dtype).name)
+        if key not in self._pack_cache:
+            from img2latex_tpu.ops.pallas.decode_step import pack_decoder_weights
+
+            self._pack_cache[key] = pack_decoder_weights(
+                self._variables(), self.tokenizer.vocab_size, dtype
+            )
+        return self._pack_cache[key]
+
+    def _packed_attention(self, dtype):
+        """``pack_attention_weights``, cached per dtype (see _packed_decoder)."""
+        key = ("att", jnp.dtype(dtype).name)
+        if key not in self._pack_cache:
+            from img2latex_tpu.ops.pallas.grid_decode import pack_attention_weights
+
+            self._pack_cache[key] = pack_attention_weights(self._variables(), dtype)
+        return self._pack_cache[key]
 
     def _prepare_image(self, image: ImageLike) -> np.ndarray:
         """Any accepted input -> uint8 (H, W, C) canvas (reference
@@ -362,7 +386,7 @@ class Predictor:
                 pallas_full_sample_decode,
             )
 
-            packed = pack_decoder_weights(self._variables(), self.tokenizer.vocab_size, dtype)
+            packed = self._packed_decoder(dtype)
 
             if mem_kind == "grid":
                 from img2latex_tpu.ops.pallas.grid_decode import (
@@ -370,7 +394,7 @@ class Predictor:
                     pallas_full_grid_sample_decode,
                 )
 
-                weights = (packed, pack_attention_weights(self._variables(), dtype))
+                weights = (packed, self._packed_attention(dtype))
 
                 def sample_kernel_path(wts, memory, seed):
                     # Grid kernel: in-kernel attention over the full (B,S,E)
@@ -427,7 +451,7 @@ class Predictor:
                 pallas_full_greedy_decode,
             )
 
-            packed = pack_decoder_weights(self._variables(), self.tokenizer.vocab_size, dtype)
+            packed = self._packed_decoder(dtype)
             # Selective beam (inference.selective_beam_frac in (0,1)): greedy
             # whole-decode kernel over everything (with per-row confidence),
             # full beam kernel over only the least-confident rows, merge.
@@ -445,7 +469,7 @@ class Predictor:
                     pallas_full_grid_greedy_decode,
                 )
 
-                weights = (packed, pack_attention_weights(self._variables(), dtype))
+                weights = (packed, self._packed_attention(dtype))
 
                 def beam_kernel_path(wts, memory):
                     # Grid whole-beam kernel: per-beam in-kernel attention
@@ -509,7 +533,7 @@ class Predictor:
                 pallas_full_greedy_decode,
             )
 
-            packed = pack_decoder_weights(self._variables(), self.tokenizer.vocab_size, dtype)
+            packed = self._packed_decoder(dtype)
 
             if mem_kind == "grid":
                 from img2latex_tpu.ops.pallas.grid_decode import (
@@ -517,7 +541,7 @@ class Predictor:
                     pallas_full_grid_greedy_decode,
                 )
 
-                weights = (packed, pack_attention_weights(self._variables(), dtype))
+                weights = (packed, self._packed_attention(dtype))
 
                 def pallas_kernel(wts, memory):
                     # Grid whole-decode kernel: memory + precomputed attention
