@@ -145,39 +145,63 @@ class Im2LatexDataset:
 
     def _open_canvas_cache(self, cache_dir: str) -> np.ndarray:
         """mmap the prepared-canvas array for this split, building it on the
-        first miss.  The key covers everything that determines canvas bytes
-        (sample names, image dir, geometry, pad value), so a changed split
-        or canvas gets a fresh file; concurrent builders race benignly
-        (per-pid tmp file + atomic ``os.replace``)."""
+        first miss.  The key covers everything that determines canvas bytes:
+        sample names, image dir, geometry, pad value, AND a per-file
+        size+mtime fingerprint of every image — re-rendering a corpus in
+        place (same dir, same file names, new pixels: the /tmp corpus
+        workflow across seeds) changes the fingerprint and forces a rebuild
+        instead of silently serving stale canvases.  Concurrent builders
+        race benignly (per-pid tmp file + atomic ``os.replace``); an aborted
+        build unlinks its tmp memmap (potentially GBs) instead of leaking it."""
         import hashlib
         import time
 
         h, w = self.img_size
-        key_src = "\n".join(name for name, _ in self.samples) + (
+        hsh = hashlib.sha1()
+        for name, _ in self.samples:
+            hsh.update(name.encode())
+            p = os.path.join(self.img_dir, name)
+            if not os.path.exists(p) and not os.path.splitext(name)[1]:
+                p += ".png"
+            try:
+                st = os.stat(p)
+                hsh.update(f"|{st.st_size}:{st.st_mtime_ns}\n".encode())
+            except OSError:
+                hsh.update(b"|missing\n")  # missing file -> zero canvas
+        hsh.update(
             f"|{os.path.abspath(self.img_dir)}|{h}x{w}x{self.channels}"
-            f"|pad{self.pad_value}|v1"
+            f"|pad{self.pad_value}|v2".encode()
         )
-        key = hashlib.sha1(key_src.encode()).hexdigest()[:16]
+        key = hsh.hexdigest()[:16]
         path = os.path.join(cache_dir, f"canvas_{key}.npy")
         if not os.path.exists(path):
             os.makedirs(cache_dir, exist_ok=True)
             tmp = f"{path}.tmp.{os.getpid()}"
-            arr = np.lib.format.open_memmap(
-                tmp, mode="w+", dtype=np.uint8,
-                shape=(len(self.samples), h, w, self.channels),
-            )
-            t0 = time.perf_counter()
-            for i in range(len(self.samples)):
-                arr[i] = self._load_image(i)
-            arr.flush()
-            del arr
-            os.replace(tmp, path)
-            logger.info(
-                "canvas cache built: %s (%d canvases, %.0f MB, %.1f s)",
-                path, len(self.samples),
-                len(self.samples) * h * w * self.channels / 1e6,
-                time.perf_counter() - t0,
-            )
+            done = False
+            try:
+                arr = np.lib.format.open_memmap(
+                    tmp, mode="w+", dtype=np.uint8,
+                    shape=(len(self.samples), h, w, self.channels),
+                )
+                t0 = time.perf_counter()
+                for i in range(len(self.samples)):
+                    arr[i] = self._load_image(i)
+                arr.flush()
+                del arr
+                os.replace(tmp, path)
+                done = True
+                logger.info(
+                    "canvas cache built: %s (%d canvases, %.0f MB, %.1f s)",
+                    path, len(self.samples),
+                    len(self.samples) * h * w * self.channels / 1e6,
+                    time.perf_counter() - t0,
+                )
+            finally:
+                if not done:
+                    try:
+                        os.unlink(tmp)
+                    except OSError:
+                        pass
         return np.load(path, mmap_mode="r")
 
     def _aug_rng(self) -> np.random.Generator:

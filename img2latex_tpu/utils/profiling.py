@@ -48,7 +48,12 @@ def enable_compilation_cache(cache_dir: str) -> None:
 
     Idempotent and safe to call after backend init; programs compiled
     before the call simply aren't cached.  ``min_compile_time_secs=1``
-    keeps trivial CPU/test compiles out of the cache."""
+    keeps trivial CPU/test compiles out of the cache.
+
+    Best-effort: on hosts where ``cache_dir`` isn't writable (read-only
+    HOME in a serving container — the default lives under ~/.cache) the
+    run continues WITHOUT the persistent cache instead of failing the
+    checkpoint/artifact load that called us."""
     if not cache_dir:
         return
     import jax
@@ -56,9 +61,15 @@ def enable_compilation_cache(cache_dir: str) -> None:
     path = os.path.abspath(os.path.expanduser(cache_dir))
     if jax.config.jax_compilation_cache_dir == path:
         return
-    os.makedirs(path, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except OSError as e:
+        logger.warning(
+            "persistent compilation cache disabled (%s not writable: %s)", path, e
+        )
+        return
     logger.info("persistent compilation cache -> %s", path)
 
 

@@ -257,6 +257,58 @@ class TestPipeline:
         assert ds._mmap is None
         assert not os.path.exists(tmp_path / "cc2")
 
+    def test_canvas_cache_invalidated_on_rerendered_corpus(self, corpus, tmp_path):
+        """Advisor r3 (pipeline.py medium): re-rendering an image in place —
+        same dir, same file name, new pixels — must key a NEW cache file and
+        serve the new canvas, not the stale mmap."""
+        import os
+        import shutil
+        import time
+
+        from PIL import Image
+
+        work = tmp_path / "corpus_copy"
+        shutil.copytree(corpus, work)
+        cached = self._cache_dataset(str(work), tmp_path / "cc3")
+        name = cached.samples[0][0]
+        p = os.path.join(str(work), "img", name)
+        if not os.path.exists(p) and not os.path.splitext(name)[1]:
+            p += ".png"
+        before = cached.image(0).copy()
+        Image.new("L", (40, 20), 0).save(p)  # re-render: all-black image
+        # mtime granularity guard (the fingerprint includes size+mtime_ns)
+        os.utime(p, ns=(time.time_ns(), time.time_ns() + 1))
+        fresh = self._cache_dataset(str(work), tmp_path / "cc3")
+        assert len(os.listdir(tmp_path / "cc3")) == 2  # new key -> new file
+        after = fresh.image(0)
+        assert not np.array_equal(before, after)
+        assert after.min() == 0  # the re-rendered black content is served
+
+    def test_canvas_cache_aborted_build_leaves_no_tmp(self, corpus, tmp_path):
+        """Advisor r3 (pipeline.py low): a build that dies mid-way must
+        unlink its per-pid .tmp memmap instead of leaking it."""
+        import os
+
+        from img2latex_tpu.data.pipeline import Im2LatexDataset
+
+        orig = Im2LatexDataset._load_image
+
+        def boom(self, i):
+            if i >= 2:
+                raise RuntimeError("disk full")
+            return orig(self, i)
+
+        try:
+            Im2LatexDataset._load_image = boom
+            ds = self._cache_dataset(corpus, tmp_path / "cc4")
+        finally:
+            Im2LatexDataset._load_image = orig
+        # constructor fell back to per-image loads...
+        assert ds._mmap is None
+        # ...and no tmp (or cache) file was left behind
+        leftovers = os.listdir(tmp_path / "cc4") if os.path.exists(tmp_path / "cc4") else []
+        assert leftovers == []
+
     def test_loader_early_break_reaps_producer(self, corpus):
         """Abandoning the iterator (evaluator max_batches, mid-epoch error)
         must not leak the producer thread or its decode pool."""
