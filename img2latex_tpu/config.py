@@ -211,6 +211,12 @@ class InferenceConfig:
     # the feature grid is white-filled to full width — output-identical to
     # the fixed canvas, encoder cost proportional to width.  None = off.
     bucket_widths: Optional[List[int]] = None
+    # Whole-split resident decode: when an evaluation has the split in HBM
+    # (data.device_cache) and no bucketing, run the ENTIRE split through one
+    # lax.map executable — one dispatch + one fetch instead of two host
+    # round trips per batch (Predictor._decode_split_fn).  Tokens are
+    # identical to the per-batch loop; False forces the per-batch loop.
+    whole_split: bool = True
 
 
 @dataclass

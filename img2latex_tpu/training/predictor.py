@@ -19,7 +19,6 @@ import math
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
-from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -73,31 +72,34 @@ def _merge_static(arrs, statics):
     return arrs
 
 
-def _pallas_runner(encode_fn, variables, mesh, weights, kernel_path, wants_seed=False):
-    """Shared jit/shard_map scaffolding for every whole-decode kernel path
-    (greedy / beam / sampling x vector / grid): encode under GSPMD, then the
-    per-device kernel — plain ``jax.jit`` on one device, or ``shard_map``
+def _pallas_impl(encode_fn, variables, mesh, weights, kernel_path, wants_seed=False):
+    """UNJITTED ``impl(images_u8, rng) -> tokens`` for a whole-decode kernel
+    path (greedy / beam / sampling x vector / grid): encode (GSPMD under a
+    mesh), then the per-device kernel — direct on one device, or ``shard_map``
     over the product mesh with images/tokens P('data') and the packed
     weights replicated (statics ride the closure, see :func:`_split_static`).
 
     ``kernel_path(wts, memory[, seed])`` -> (B, T) tokens.  ``wants_seed``:
     sampling kernels take an int32 seed derived from the runtime rng; under
     the mesh each shard offsets it by its data-axis coordinate so every chip
-    draws a distinct stream.  Returns ``run(images_u8, rng)``.
+    draws a distinct stream.
+
+    Callers jit the impl per batch (:func:`_pallas_runner`) or ``lax.map``
+    it over a device-resident split (``Predictor._decode_split_fn`` — the
+    one-dispatch-per-split eval path).
     """
     if mesh is None:
 
-        @jax.jit
-        def run(images_u8, rng):
+        def impl(images_u8, rng):
             memory = encode_fn(variables, images_u8)
             if wants_seed:
                 seed = jax.random.bits(rng, dtype=jnp.uint32).astype(jnp.int32)
                 return kernel_path(weights, memory, seed)
             return kernel_path(weights, memory)
 
-        return run
+        return impl
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     w_arrays, w_static = _split_static(weights)
     if wants_seed:
@@ -119,17 +121,36 @@ def _pallas_runner(encode_fn, variables, mesh, weights, kernel_path, wants_seed=
     local = jax.shard_map(
         shard_fn, mesh=mesh, in_specs=in_specs, out_specs=P("data"), check_vma=False
     )
-    data_sh = NamedSharding(mesh, P("data"))
 
-    @partial(jax.jit, in_shardings=(data_sh, None), out_shardings=data_sh)
-    def run(images_u8, rng):
+    def impl(images_u8, rng):
         memory = encode_fn(variables, images_u8)
         if wants_seed:
             seed = jax.random.bits(rng, dtype=jnp.uint32).astype(jnp.int32)
             return local(w_arrays, memory, seed)
         return local(w_arrays, memory)
 
-    return run
+    return impl
+
+
+def _jit_data_parallel(impl, mesh, batch_rank: int = 1):
+    """jit ``impl`` with the product-mesh data shardings (or plain jit).
+
+    ``batch_rank=1``: images (B, ...) shard P('data'); ``batch_rank=2``:
+    images (n_batches, B, ...) shard P(None, 'data') — the whole-split map."""
+    if mesh is None:
+        return jax.jit(impl)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P("data") if batch_rank == 1 else P(*([None] * (batch_rank - 1) + ["data"]))
+    data_sh = NamedSharding(mesh, spec)
+    return jax.jit(impl, in_shardings=(data_sh, None), out_shardings=data_sh)
+
+
+def _pallas_runner(encode_fn, variables, mesh, weights, kernel_path, wants_seed=False):
+    """Per-batch compiled ``run(images_u8, rng)`` (see :func:`_pallas_impl`)."""
+    return _jit_data_parallel(
+        _pallas_impl(encode_fn, variables, mesh, weights, kernel_path, wants_seed), mesh
+    )
 
 
 class Predictor:
@@ -149,6 +170,7 @@ class Predictor:
         self.tokenizer = tokenizer
         self.batch_size = batch_size
         self._jit_cache: Dict[Any, Any] = {}
+        self._impl_cache: Dict[Any, Any] = {}
         self._pack_cache: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
@@ -292,10 +314,12 @@ class Predictor:
         return self._white_fill_cache
 
     # ------------------------------------------------------------------
-    def _decode_fn(self, batch: int, dcfg: DecodeConfig,
-                   width: Optional[int] = None):
-        """Build (and cache) the compiled end-to-end decode: uint8 images ->
-        token ids.  One executable per (batch, decode-config[, bucket width]).
+    def _decode_impl(self, batch: int, dcfg: DecodeConfig,
+                     width: Optional[int] = None):
+        """Build (and cache) the UNJITTED end-to-end decode impl
+        ``(images_u8, rng) -> tokens`` plus the mesh it targets.  Consumed by
+        :meth:`_decode_fn` (per-batch executable) and
+        :meth:`_decode_split_fn` (whole-split ``lax.map`` executable).
 
         ``width``: aspect-ratio bucket — inputs are (B, H, width+margin, C)
         canvases; the conv stack runs at bucket width (the e2e win: encoder
@@ -311,8 +335,8 @@ class Predictor:
         # through the runtime ``rng`` argument (predict_batch derives the
         # in-kernel seed from it), so one executable serves every seed.
         key = (batch, dcfg, width)
-        if key in self._jit_cache:
-            return self._jit_cache[key]
+        if key in self._impl_cache:
+            return self._impl_cache[key]
         model = self.model
         variables = self._variables()
         mean = tuple(self.cfg.preprocessing.normalization_mean)
@@ -438,11 +462,11 @@ class Predictor:
                         interpret=interp,
                     )
 
-            run_sample = _pallas_runner(
+            impl = _pallas_impl(
                 encode_fn, variables, mesh, weights, sample_kernel_path, wants_seed=True
             )
-            self._jit_cache[key] = run_sample
-            return run_sample
+            self._impl_cache[key] = (impl, mesh)
+            return impl, mesh
 
         if use_pallas_beam:
             from img2latex_tpu.ops.pallas.beam_decode import pallas_full_beam_decode
@@ -523,9 +547,9 @@ class Predictor:
                     )
                     return tokens
 
-            run_beam = _pallas_runner(encode_fn, variables, mesh, weights, beam_kernel_path)
-            self._jit_cache[key] = run_beam
-            return run_beam
+            impl = _pallas_impl(encode_fn, variables, mesh, weights, beam_kernel_path)
+            self._impl_cache[key] = (impl, mesh)
+            return impl, mesh
 
         if use_pallas:
             from img2latex_tpu.ops.pallas.decode_step import (
@@ -581,10 +605,10 @@ class Predictor:
 
             # Pallas kernels are per-device programs — the encoder runs GSPMD
             # over the mesh; only the kernel call wraps in shard_map so each
-            # chip decodes its local batch shard (_pallas_runner).
-            run_pallas = _pallas_runner(encode_fn, variables, mesh, weights, pallas_kernel)
-            self._jit_cache[key] = run_pallas
-            return run_pallas
+            # chip decodes its local batch shard (_pallas_impl).
+            impl = _pallas_impl(encode_fn, variables, mesh, weights, pallas_kernel)
+            self._impl_cache[key] = (impl, mesh)
+            return impl, mesh
 
         def run_impl(images_u8: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
             memory = encode_fn(variables, images_u8)
@@ -661,14 +685,49 @@ class Predictor:
             )
             return greedy_sample_decode(step_fn, carry0, batch, dcfg, rng=rng)
 
-        if mesh is None:
-            run = jax.jit(run_impl)
-        else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        self._impl_cache[key] = (run_impl, mesh)
+        return run_impl, mesh
 
-            data_sh = NamedSharding(mesh, P("data"))
-            run = jax.jit(run_impl, in_shardings=(data_sh, None), out_shardings=data_sh)
+    def _decode_fn(self, batch: int, dcfg: DecodeConfig,
+                   width: Optional[int] = None):
+        """The per-batch compiled end-to-end decode: uint8 images -> token
+        ids.  One executable per (batch, decode-config[, bucket width]); see
+        :meth:`_decode_impl` for the path selection (Pallas kernels vs scan)
+        and the SPMD story."""
+        key = (batch, dcfg, width)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        impl, mesh = self._decode_impl(batch, dcfg, width)
+        run = _jit_data_parallel(impl, mesh)
+        self._jit_cache[key] = run
+        return run
 
+    def _decode_split_fn(self, n_batches: int, batch: int, dcfg: DecodeConfig):
+        """ONE executable for a whole device-resident split: images
+        (n_batches, batch, H, W, C) uint8 + per-batch rng keys ->
+        (n_batches, batch, T) tokens, ``lax.map``-ing the per-batch decode
+        impl so the entire split costs ONE dispatch and ONE fetch.
+
+        Why: on remoted backends every dispatch/fetch is a host round trip
+        (~25-30 ms on the dev tunnel); the per-batch eval loop pays 2 RTTs a
+        batch, which capped resident eval at ~2.9k img/s while the device
+        decoded at 15.4k (round-3 verdict weak #1,
+        ``artifacts/mathtext_hard_grid_v2/predictions_devicecache_cc_b1024``).
+        With ``data.device_cache`` the split is already in HBM — ``lax.map``
+        (a ``lax.scan`` over the batch axis) keeps activation memory at one
+        batch's footprint while XLA runs the whole split without host
+        involvement.  The inner impl is identical to the per-batch path
+        (same kernels, same shardings under a mesh), so tokens are
+        bit-identical to the per-batch loop (tested)."""
+        key = ("split", n_batches, batch, dcfg)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        impl, mesh = self._decode_impl(batch, dcfg)
+
+        def split_impl(images_all, keys):
+            return jax.lax.map(lambda xs: impl(xs[0], xs[1]), (images_all, keys))
+
+        run = _jit_data_parallel(split_impl, mesh, batch_rank=2)
         self._jit_cache[key] = run
         return run
 

@@ -230,7 +230,7 @@ class TestBucketedPallasWiring:
         fixed = pred.predict_batch(imgs, return_ids=True, beam_size=0)
         cfg.hardware.use_pallas_decode = True
         cfg.hardware.pallas_interpret = True
-        pred._jit_cache.clear()
+        pred._jit_cache.clear(); pred._impl_cache.clear()
         bucketed = pred.predict_batch(
             imgs, return_ids=True, beam_size=0, bucket_widths=[64, 128]
         )

@@ -73,6 +73,68 @@ class TestEvaluator:
         assert cached["bleu"] == pytest.approx(plain["bleu"], abs=1e-9)
         assert cached["cache_build_seconds"] > 0.0
 
+    def test_whole_split_matches_per_batch_loop(self, trained_ckpt, tmp_path):
+        """The one-dispatch whole-split program (inference.whole_split, the
+        device_cache default) must produce byte-identical predictions to the
+        per-batch loop, with the whole-split accounting fields present."""
+        ckpt, corpus, _ = trained_ckpt
+        loop = evaluate_checkpoint(
+            ckpt, data_dir=corpus, split="test", batch_size=4,
+            output_dir=str(tmp_path / "loop"),
+            config_overrides={
+                "data.device_cache": True, "inference.whole_split": False,
+            },
+        )
+        whole = evaluate_checkpoint(
+            ckpt, data_dir=corpus, split="test", batch_size=4,
+            output_dir=str(tmp_path / "whole"),
+            config_overrides={"data.device_cache": True},
+            passes=2,
+        )
+        assert whole.get("whole_split") is True
+        assert "whole_split" not in loop
+        a = json.loads((tmp_path / "loop" / "predictions.json").read_text())
+        b = json.loads((tmp_path / "whole" / "predictions.json").read_text())
+        assert [r["prediction"] for r in a["predictions"]] == [
+            r["prediction"] for r in b["predictions"]
+        ]
+        assert [r["image"] for r in a["predictions"]] == [
+            r["image"] for r in b["predictions"]
+        ]
+        assert whole["bleu"] == pytest.approx(loop["bleu"], abs=1e-9)
+        # passes=2: a measured steady window exists (2nd dispatch+fetch)
+        assert whole["decode_passes"] == 2
+        assert whole["steady_images"] == 8
+        assert whole["decode_seconds"] > 0
+        assert whole["images_per_second_includes_compile"] is False
+        # passes=1: only a compile-inclusive rate exists
+        once = evaluate_checkpoint(
+            ckpt, data_dir=corpus, split="test", batch_size=4,
+            config_overrides={"data.device_cache": True},
+        )
+        assert once["images_per_second_includes_compile"] is True
+        assert once["bleu"] == pytest.approx(loop["bleu"], abs=1e-9)
+
+    def test_whole_split_beam_and_sampling(self, trained_ckpt):
+        """Whole-split covers every decode family: beam (deterministic — must
+        match the loop) and top-k sampling (same seed schedule: the per-batch
+        keys are the same jax.random.split(PRNGKey(0)) schedule the loop
+        uses, so tokens match row for row)."""
+        ckpt, corpus, _ = trained_ckpt
+        for kwargs in ({"beam_size": 2}, {"top_k": 3, "temperature": 0.9}):
+            loop = evaluate_checkpoint(
+                ckpt, data_dir=corpus, split="validate", batch_size=4, **kwargs,
+                config_overrides={
+                    "data.device_cache": True, "inference.whole_split": False,
+                },
+            )
+            whole = evaluate_checkpoint(
+                ckpt, data_dir=corpus, split="validate", batch_size=4, **kwargs,
+                config_overrides={"data.device_cache": True},
+            )
+            assert whole.get("whole_split") is True
+            assert whole["bleu"] == pytest.approx(loop["bleu"], abs=1e-9), kwargs
+
     def test_max_batches_cap(self, trained_ckpt):
         ckpt, corpus, _ = trained_ckpt
         out = evaluate_checkpoint(

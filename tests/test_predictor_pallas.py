@@ -57,11 +57,11 @@ def _ab(pred, **decode_kwargs):
     imgs = _images()
     pred.cfg.hardware.use_pallas_decode = False
     pred.cfg.hardware.pallas_interpret = False
-    pred._jit_cache.clear()
+    pred._jit_cache.clear(); pred._impl_cache.clear()
     ref = pred.predict_batch(imgs, return_ids=True, **decode_kwargs)
     pred.cfg.hardware.use_pallas_decode = True
     pred.cfg.hardware.pallas_interpret = True
-    pred._jit_cache.clear()
+    pred._jit_cache.clear(); pred._impl_cache.clear()
     got = pred.predict_batch(imgs, return_ids=True, **decode_kwargs)
     return ref, got
 
@@ -142,9 +142,39 @@ class TestPallasWiring:
         pred.cfg.hardware.pallas_interpret = True
         imgs = _images()
         full = pred.predict_batch(imgs, return_ids=True, beam_size=0)
-        pred._jit_cache.clear()
+        pred._jit_cache.clear(); pred._impl_cache.clear()
         early = pred.predict_batch(imgs, return_ids=True, beam_size=0, early_exit=True)
         assert [list(r) for r in full] == [list(g) for g in early]
+
+    def test_whole_split_kernel_path(self, memory):
+        """The whole-split lax.map program (_decode_split_fn) over the
+        interpret-mode kernels must equal per-batch kernel calls token for
+        token — the exact program the resident eval dispatches on TPU."""
+        import jax
+
+        from img2latex_tpu.decoding.decode import DecodeConfig
+
+        pred = _predictor(memory)
+        pred.cfg.hardware.use_pallas_decode = True
+        pred.cfg.hardware.pallas_interpret = True
+        B, n_b = 4, 2
+        h, w, c = pred.cfg.image_shape
+        rng = np.random.default_rng(3)
+        imgs = rng.integers(0, 256, size=(n_b, B, h, w, c), dtype=np.uint8)
+        dcfg = DecodeConfig(
+            max_length=10,
+            start_id=pred.tokenizer.start_token_id,
+            end_id=pred.tokenizer.end_token_id,
+            pad_id=pred.tokenizer.pad_token_id,
+        )
+        keys = jax.random.split(jax.random.PRNGKey(0), n_b)
+        run_b = pred._decode_fn(B, dcfg)
+        per_batch = np.stack(
+            [np.asarray(run_b(jnp.asarray(imgs[i]), keys[i])) for i in range(n_b)]
+        )
+        run_s = pred._decode_split_fn(n_b, B, dcfg)
+        whole = np.asarray(run_s(jnp.asarray(imgs), keys))
+        np.testing.assert_array_equal(per_batch, whole)
 
     def test_seed_does_not_retrace(self, memory):
         """Sampling randomness rides the runtime rng argument; a new seed
