@@ -166,9 +166,11 @@ def export_checkpoint(
     full-canvas entries.  ``ExportedPredictor`` then routes each input
     through the shared :func:`data.transforms.assign_bucket` rule, exactly
     like ``Predictor._predict_bucketed``; outputs stay identical to the
-    full-canvas decode (white-margin + feature-fill construction).  CNN
-    models only; incompatible with ``symbolic_batch`` (each bucket would
-    need its own polymorphic export — not worth 2x the artifact count).
+    full-canvas decode (white-margin + feature-fill construction).  Both
+    model families bucket (CNN conv-stack seam; ResNet layer4 seam with the
+    receptive-field margin); incompatible with ``symbolic_batch`` (each
+    bucket would need its own polymorphic export — not worth 2x the
+    artifact count).
     """
     import jax
     import jax.numpy as jnp
@@ -228,11 +230,6 @@ def export_checkpoint(
                 "bucket_widths is incompatible with symbolic_batch "
                 "(one polymorphic export per bucket width; export fixed "
                 "batch sizes instead)"
-            )
-        if pred.cfg.model.name != "cnn_lstm":
-            raise ValueError(
-                "bucket_widths requires a cnn_lstm checkpoint (the ResNet "
-                "path has no width-scaled encoder executable)"
             )
         stride = pred._bucket_stride()
         margin = pred.bucket_margin_px()

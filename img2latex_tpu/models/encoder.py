@@ -264,14 +264,36 @@ class ResNetEncoder(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """x: (B, H, W, 3) float -> (B, E) or (B, S, E)."""
+    def __call__(
+        self,
+        x: jnp.ndarray = None,
+        train: bool = False,
+        features_only: bool = False,
+        from_features: jnp.ndarray = None,
+    ) -> jnp.ndarray:
+        """x: (B, H, W, 3) float -> (B, E) or (B, S, E).
+
+        ``features_only`` / ``from_features`` split at the backbone/head
+        boundary — the aspect-ratio-bucketing seam, exactly like
+        :class:`CNNEncoder`: narrow buckets run the (width-proportional)
+        backbone on their own canvas, the layer4 feature grid is filled back
+        to full width with precomputed white-canvas columns, and the head
+        sees the full-canvas layout (flax auto-names the head ``Dense_0``
+        whether or not the backbone executed, so the param tree is
+        unchanged)."""
+        if from_features is not None:
+            return self._head(from_features)
         feats = ResNetBackbone(
             model_name=self.model_name,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="backbone",
         )(x, train=train)  # (B, H', W', F)
+        if features_only:
+            return feats
+        return self._head(feats)
+
+    def _head(self, feats: jnp.ndarray) -> jnp.ndarray:
         if self.output == "grid":
             B, H, W, F = feats.shape
             grid = jnp.transpose(feats, (0, 2, 1, 3)).reshape(B, W, H * F)

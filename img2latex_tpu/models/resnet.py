@@ -149,3 +149,34 @@ class ResNetBackbone(nn.Module):
 
 def feature_dim(model_name: str) -> int:
     return FEATURE_DIM[model_name]
+
+
+def receptive_field(model_name: str) -> int:
+    """Theoretical receptive field (pixels, one axis) of a single layer4
+    output position: ``RF = 1 + sum((k-1) * jump_in)`` over the conv/pool
+    chain, where ``jump_in`` is the product of all earlier strides.  1x1
+    convs (bottleneck reductions, downsample shortcuts) add nothing; each
+    block's single strided 3x3 doubles the jump for everything after it.
+
+    Used by the aspect-ratio-bucketing margin: a kept feature column's
+    pixel window spans ``32*p +- (RF-1)/2`` (strides compose to exactly
+    32*p centers — conv1/maxpool/stage-first convs are all symmetric
+    SAME-padded), so a white margin of ``ceil(((RF-1)/2)/32)*32`` pixels
+    past the content guarantees every kept column sees canvas pixels
+    identical to the full-width canvas — bucketed decode stays bit-exact
+    (Predictor.bucket_margin_px, tests/test_buckets.py)."""
+    stage_sizes = STAGE_SIZES[model_name]
+    convs_per_block = 1 if BOTTLENECK[model_name] else 2
+    rf, jump = 1, 1
+    rf += 6 * jump  # conv1 7x7 stride 2
+    jump *= 2
+    rf += 2 * jump  # maxpool 3x3 stride 2
+    jump *= 2
+    for stage, num_blocks in enumerate(stage_sizes):
+        for block in range(num_blocks):
+            strided = stage > 0 and block == 0
+            for conv in range(convs_per_block):
+                rf += 2 * jump  # every counted conv is 3x3
+                if conv == 0 and strided:
+                    jump *= 2
+    return rf

@@ -95,16 +95,14 @@ class Seq2SeqModel(nn.Module):
         return out
 
     def encode_features(self, images: jnp.ndarray) -> jnp.ndarray:
-        """images -> pre-head conv feature grid (B, H', W'', C).  CNN only —
-        the aspect-ratio-bucketing split point (see CNNEncoder.__call__)."""
-        if self.model_type != "cnn_lstm":
-            raise ValueError("feature-split encoding (bucketing) supports cnn_lstm only")
+        """images -> pre-head feature grid (B, H', W', C) — the aspect-ratio
+        bucketing split point: the CNN conv stack (CNNEncoder.__call__) or
+        the ResNet backbone through layer4 (ResNetEncoder.__call__), eval
+        mode (BatchNorm running stats)."""
         return self.encoder(images, features_only=True)
 
     def encode_from_features(self, features: jnp.ndarray) -> jnp.ndarray:
         """Feature grid (B, H', W', C) -> memory (B, S, E); S=1 vector mode."""
-        if self.model_type != "cnn_lstm":
-            raise ValueError("feature-split encoding (bucketing) supports cnn_lstm only")
         out = self.encoder(from_features=features)
         if out.ndim == 2:
             out = out[:, None, :]

@@ -109,7 +109,11 @@ def evaluate_checkpoint(
 
     if bucket_widths is None:
         bucket_widths = getattr(icfg, "bucket_widths", None)
-    if bucket_widths and cfg.model.name == "cnn_lstm":
+    if bucket_widths:
+        # Both families bucket (CNN conv-stack seam; ResNet layer4 seam with
+        # the receptive-field margin, Predictor.bucket_margin_px).  A margin
+        # too wide for the canvas only disables individual buckets
+        # (_assign_bucket), never silently un-buckets the whole run.
         return _evaluate_bucketed(
             pred, cfg, loader, dcfg, split, bucket_widths, max_batches, output_dir
         )

@@ -191,6 +191,52 @@ class TestEndToEnd:
         assert t2.scheduler.state_dict() == trainer.scheduler.state_dict()
         assert t2.early_stopping.state_dict() == trainer.early_stopping.state_dict()
 
+    def test_cross_topology_restore(self, trained, tmp_path, recwarn):
+        """Sharding-explicit restore (ArrayRestoreArgs from the template's
+        own shardings): save from arrays sharded over the 8-device mesh,
+        restore onto a SINGLE device — and back — without orbax's
+        'unsafe when restoring on a different topology' warning and with
+        identical values.  This is the elastic-recovery story: a v5e-8
+        checkpoint must resume on 1 chip and vice versa."""
+        import warnings
+
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from img2latex_tpu.utils import checkpoint as ckpt_lib
+
+        devs = jax.devices()
+        mesh = Mesh(np.asarray(devs).reshape(len(devs)), ("data",))
+        repl = NamedSharding(mesh, P())
+        sharded = NamedSharding(mesh, P("data"))
+        tree = {
+            "w": jax.device_put(np.arange(32, dtype=np.float32).reshape(8, 4), sharded),
+            "b": jax.device_put(np.ones(4, np.float32), repl),
+        }
+        ckpt_lib.save_checkpoint(tmp_path / "ck", tree, {"step": 1}, step=1)
+
+        single = jax.sharding.SingleDeviceSharding(devs[0])
+        template_1dev = {
+            "w": jax.device_put(np.zeros((8, 4), np.float32), single),
+            "b": jax.device_put(np.zeros(4, np.float32), single),
+        }
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)
+            state, _ = ckpt_lib.restore_checkpoint(tmp_path / "ck", template=template_1dev)
+        np.testing.assert_array_equal(np.asarray(state["w"]), np.asarray(tree["w"]))
+        assert state["w"].sharding == single
+
+        # reverse direction: a single-device checkpoint restored onto the mesh
+        ckpt_lib.save_checkpoint(tmp_path / "ck2", template_1dev, {"step": 1}, step=1)
+        template_mesh = {
+            "w": jax.device_put(np.ones((8, 4), np.float32), sharded),
+            "b": jax.device_put(np.ones(4, np.float32), repl),
+        }
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)
+            state2, _ = ckpt_lib.restore_checkpoint(tmp_path / "ck2", template=template_mesh)
+        np.testing.assert_array_equal(np.asarray(state2["w"]), 0.0)
+        assert state2["w"].sharding == sharded
+
     def test_predictor_from_checkpoint(self, trained, corpus):
         cfg, tok, trainer, _, paths, _ = trained
         from img2latex_tpu.training.predictor import Predictor
