@@ -136,6 +136,40 @@ class LaTeXTokenizer:
         arr = np.asarray(batch_ids)
         return [self.decode(row, skip_special_tokens) for row in arr]
 
+    def _decode_table(self):
+        """(max_id, keep_mask, token_array) for the vectorized decode —
+        rebuilt lazily whenever the vocab size changes (fit/load)."""
+        cache = getattr(self, "_decode_cache", None)
+        key = (len(self.token_to_id), id(self.token_to_id))
+        if cache is not None and cache[0] == key:
+            return cache[1:]
+        max_id = max(self.id_to_token) if self.id_to_token else 0
+        special_ids = {self.token_to_id[t] for t in self.special_tokens.values()}
+        keep = np.zeros(max_id + 1, dtype=bool)
+        tab = np.empty(max_id + 1, dtype=object)
+        for i, t in self.id_to_token.items():
+            keep[i] = i not in special_ids
+            tab[i] = t
+        self._decode_cache = (key, max_id, keep, tab)
+        return max_id, keep, tab
+
+    def decode_rows(self, rows: Sequence[Sequence[int]]) -> List[str]:
+        """Batch ``decode(..., skip_special_tokens=True)`` via one cached
+        numpy lookup table instead of per-token dict probes — the eval hot
+        path's detokenizer (identical output to ``decode``, tested; ids
+        outside the vocab are skipped exactly like specials)."""
+        max_id, keep, tab = self._decode_table()
+        out: List[str] = []
+        for ids in rows:
+            a = np.asarray(ids, dtype=np.int64).ravel()
+            if a.size:
+                a = a[(a >= 0) & (a <= max_id)]
+                a = a[keep[a]]
+                out.append(" ".join(tab[a]))
+            else:
+                out.append("")
+        return out
+
     # ------------------------------------------------------------------
     def save(self, file_path: str) -> None:
         os.makedirs(os.path.dirname(os.path.abspath(file_path)), exist_ok=True)

@@ -446,17 +446,26 @@ def backtrack_and_select(
 def trim_host(tokens: np.ndarray, end_id: int, pad_id: int, start_id: Optional[int] = None) -> List[List[int]]:
     """Device (B, T) -> list of python id lists, cut at the first END
     (exclusive), PAD and leading START stripped (reference
-    ``predictor.py:349-360,382-391``)."""
-    out: List[List[int]] = []
+    ``predictor.py:349-360,382-391``).
+
+    Vectorized: the cut/strip masks compute once over the whole (B, T)
+    array — per-row Python here was the largest single term of the
+    whole-split eval's resident window (0.71 s host post for 8k rows
+    against 0.52 s of device decode, ``predictions_wholesplit_b1024``)."""
     arr = np.asarray(tokens)
-    for row in arr:
-        ids = row.tolist()
-        if start_id is not None and ids and ids[0] == start_id:
-            ids = ids[1:]
-        if end_id in ids:
-            ids = ids[: ids.index(end_id)]
-        out.append([t for t in ids if t != pad_id])
-    return out
+    if arr.size == 0:
+        return [[] for _ in range(arr.shape[0])] if arr.ndim == 2 else []
+    B, T = arr.shape
+    is_end = arr == end_id
+    has_end = is_end.any(axis=1)
+    end_pos = np.where(has_end, is_end.argmax(axis=1), T)
+    col = np.arange(T)[None, :]
+    valid = (col < end_pos[:, None]) & (arr != pad_id)
+    if start_id is not None:
+        # START stripped only at position 0 (END search is unaffected:
+        # START and END are distinct ids, so a START at 0 is never the cut)
+        valid[:, 0] &= arr[:, 0] != start_id
+    return [arr[i, valid[i]].tolist() for i in range(B)]
 
 
 def decode_chunks(plan, rng: jax.Array, stats: Optional[dict] = None):

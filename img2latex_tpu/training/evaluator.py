@@ -232,10 +232,11 @@ def evaluate_checkpoint(
             start_id=tok.start_token_id,
         )
         all_preds.extend(pred_ids)
+        pred_strs = tok.decode_rows(pred_ids)
         for j in range(n_local):
             idx = row_base + j
             name = ds.samples[idx][0] if idx < len(ds.samples) and not loader.shuffle else None
-            rows.append({"image": name, "prediction": tok.decode(pred_ids[j])})
+            rows.append({"image": name, "prediction": pred_strs[j]})
         t_post += time.perf_counter() - t1
 
     # NOTE on first-call accounting: the first dispatch's wall is folded into
@@ -294,8 +295,8 @@ def evaluate_checkpoint(
         _collect(pending)
     stats["post_s"] = stats.get("post_s", 0.0) + t_post
     # references join their rows only now (rows were built per fetched batch)
-    for r, tgt in zip(rows, all_tgts):
-        r["reference"] = tok.decode(tgt)
+    for r, ref in zip(rows, tok.decode_rows(all_tgts)):
+        r["reference"] = ref
 
     wall = time.perf_counter() - wall0
     return _finish(
@@ -328,6 +329,19 @@ def _evaluate_whole_split(pred, cfg, tok, split, loader, cached, big, dcfg,
     run = pred._decode_split_fn(n_b, B, dcfg)
     keys = jax.random.split(jax.random.PRNGKey(0), max(n_b, 1))
     images_all = big.reshape((n_b, B) + big.shape[1:])
+    # Targets are split-dependent, not decode-dependent: trim + detokenize
+    # them once with the other one-time split preparation (a repeated eval
+    # of a cached split reuses them like it reuses the uploaded canvases),
+    # keeping the per-pass window to prediction post-processing only.
+    tgt_ids_batches, tgt_str_batches = [], []
+    for b in cached:
+        n_local = int(b.get("n_valid_local", b.get("n_valid", B)))
+        t_ids = trim_host(
+            np.asarray(b["formulas"])[:n_local, 1:],  # strip START
+            tok.end_token_id, tok.pad_token_id,
+        )
+        tgt_ids_batches.append(t_ids)
+        tgt_str_batches.append(tok.decode_rows(t_ids))
     stats["setup_s"] = time.perf_counter() - t_setup
 
     n_images = sum(
@@ -359,12 +373,11 @@ def _evaluate_whole_split(pred, cfg, tok, split, loader, cached, big, dcfg,
             toks_np[bi, :n_local], tok.end_token_id, tok.pad_token_id,
             start_id=tok.start_token_id,
         )
-        tgt_ids = trim_host(
-            np.asarray(b["formulas"])[:n_local, 1:],  # strip START
-            tok.end_token_id, tok.pad_token_id,
-        )
+        tgt_ids = tgt_ids_batches[bi]
         all_preds.extend(pred_ids)
         all_tgts.extend(tgt_ids)
+        pred_strs = tok.decode_rows(pred_ids)
+        tgt_strs = tgt_str_batches[bi]
         for j in range(n_local):
             idx = sample_offset + j
             name = (
@@ -374,8 +387,8 @@ def _evaluate_whole_split(pred, cfg, tok, split, loader, cached, big, dcfg,
             )
             rows.append({
                 "image": name,
-                "prediction": tok.decode(pred_ids[j]),
-                "reference": tok.decode(tgt_ids[j]),
+                "prediction": pred_strs[j],
+                "reference": tgt_strs[j],
             })
         sample_offset += int(b.get("n_valid", B))
     stats["post_s"] = time.perf_counter() - t1

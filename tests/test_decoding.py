@@ -399,6 +399,31 @@ class TestTrim:
         out = trim_host(arr, END, PAD, start_id=START)
         assert out == [[5, 6], [7, 8, 9, 5, 6], [5]]
 
+    def test_trim_host_matches_python_oracle(self):
+        """The vectorized trim == the per-row reference semantics (cut at
+        first END exclusive, strip ALL pads, strip leading START) on random
+        rows including empty/no-END/interior-PAD edge cases."""
+
+        def oracle(tokens, end_id, pad_id, start_id=None):
+            out = []
+            for row in np.asarray(tokens):
+                ids = row.tolist()
+                if start_id is not None and ids and ids[0] == start_id:
+                    ids = ids[1:]
+                if end_id in ids:
+                    ids = ids[: ids.index(end_id)]
+                out.append([t for t in ids if t != pad_id])
+            return out
+
+        rng = np.random.default_rng(7)
+        for _ in range(40):
+            B, T = int(rng.integers(1, 16)), int(rng.integers(1, 24))
+            arr = rng.integers(0, 6, size=(B, T)).astype(np.int32)
+            for start in (None, START):
+                assert trim_host(arr, END, PAD, start_id=start) == oracle(
+                    arr, END, PAD, start_id=start
+                )
+
 
 class TestTopkIterative:
     def test_matches_lax_top_k(self):

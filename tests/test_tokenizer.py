@@ -89,6 +89,29 @@ def test_decode_skips_out_of_vocab_like_unk():
     assert tok.decode([x, 9999], skip_special_tokens=False) == "x <UNK>"
 
 
+def test_decode_rows_matches_decode():
+    """The vectorized batch detokenizer (eval hot path) == per-row decode
+    with skip_special_tokens=True, including OOV/negative/empty rows; the
+    lookup table rebuilds after a vocab change."""
+    import numpy as np
+
+    tok = LaTeXTokenizer(max_sequence_length=24)
+    tok.default_init()
+    rng = np.random.default_rng(3)
+    V = tok.vocab_size
+    rows = [
+        rng.integers(-2, V + 3, size=int(rng.integers(0, 20))).tolist()
+        for _ in range(200)
+    ]
+    assert tok.decode_rows(rows) == [tok.decode(r) for r in rows]
+    tok2 = LaTeXTokenizer(max_sequence_length=24)
+    tok2.fit(["a b", "c"])
+    assert tok2.decode_rows(rows) == [tok2.decode(r) for r in rows]
+    # vocab grows after a decode_rows call: table must rebuild
+    tok2.fit(["a b c d e f g"])
+    assert tok2.decode_rows(rows) == [tok2.decode(r) for r in rows]
+
+
 def test_save_load_roundtrip(tmp_path):
     tok = LaTeXTokenizer(max_sequence_length=12)
     tok.fit(["\\alpha + \\beta = x", "x + x"])
