@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--buckets", default="",
+                    help="comma list of aspect-bucket widths for a bucketed "
+                         "serving row (empty = skip)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -54,10 +57,29 @@ def main() -> None:
 
     pred = Predictor.from_checkpoint(args.ckpt, batch_size=args.batch)
     results = {}
-    for early_exit in (False, True):
+    # Server modes benched (round-3 verdict #7: the deployment surface must
+    # quote current numbers for the r3 wins — selective beam + buckets —
+    # not just the r2 early-exit pair).  All ride InferenceServer's
+    # decode_options passthrough into predict_batch.
+    buckets = (
+        [int(b) for b in args.buckets.split(",") if b.strip()]
+        if args.buckets
+        else []
+    )
+    modes = [
+        ("full_length", {}),
+        ("early_exit", {"early_exit": True}),
+        ("beam5", {"beam_size": 5, "length_penalty": 1.5}),
+        ("selective_beam02", {
+            "beam_size": 5, "length_penalty": 1.5, "selective_beam_frac": 0.2,
+        }),
+    ]
+    if buckets:
+        modes.append(("bucketed", {"bucket_widths": buckets}))
+    for name, options in modes:
         srv = InferenceServer(
             pred, max_batch=args.batch, max_wait_ms=args.max_wait_ms,
-            early_exit=early_exit,
+            **options,
         )
         with srv:
             srv.predict_many(images[: args.batch])  # warm/compile
@@ -67,12 +89,13 @@ def main() -> None:
             wall = time.perf_counter() - t0
         assert len(out) == args.n and all(isinstance(s, str) for s in out)
         row = {
+            "options": {k: v for k, v in options.items()},
             "latency_ms": srv.stats.latency_percentiles_ms(),
             "throughput_img_s": args.n / wall,
             "wall_s": wall,
         }
-        results["early_exit" if early_exit else "full_length"] = row
-        print(f"early_exit={early_exit}: {json.dumps(row)}", flush=True)
+        results[name] = row
+        print(f"{name}: {json.dumps(row)}", flush=True)
 
     out_doc = {
         "checkpoint": args.ckpt,

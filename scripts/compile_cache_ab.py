@@ -37,8 +37,15 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
-import json, sys
+import json, logging, sys
 sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_explain_cache_misses", True)
+logging.getLogger("jax._src.compiler").setLevel(logging.DEBUG)
+logging.getLogger("jax._src.compilation_cache").setLevel(logging.DEBUG)
+h = logging.StreamHandler(sys.stderr)
+logging.getLogger("jax._src.compiler").addHandler(h)
+logging.getLogger("jax._src.compilation_cache").addHandler(h)
 from img2latex_tpu.training.evaluator import evaluate_checkpoint
 out = evaluate_checkpoint(
     {ckpt!r}, data_dir={data_dir!r}, split="test", batch_size={batch},
@@ -101,8 +108,10 @@ def main() -> None:
                     row.update(json.loads(line[len("CCAB_RESULT "):]))
             row["cache_log_lines"] = [
                 ln for ln in (r.stderr + r.stdout).splitlines()
-                if "compilation cache" in ln.lower() or "persistent cache" in ln.lower()
-            ][:10]
+                if "cache" in ln.lower()
+                and "canvas" not in ln.lower()
+                and "device_cache" not in ln.lower()
+            ][:20]
             if r.returncode != 0:
                 row["error"] = r.stderr[-2000:]
             results["rows"].append(row)

@@ -118,12 +118,15 @@ def main() -> None:
         )
         results["test_bucketed_greedy"] = out
 
-    # 6. device-cache evaluate
+    # 6. device-cache evaluate — whole-split resident program (one dispatch
+    # + one fetch per split, Predictor._decode_split_fn); passes=2 so the
+    # artifact carries a measured resident window, not an estimate.
     if "cache" not in skip:
         out = evaluate_checkpoint(
             args.ckpt, data_dir=args.data_dir, split="test",
             output_dir=os.path.join(art, "predictions_devicecache"),
             config_overrides={"data.device_cache": True},
+            passes=2,
         )
         results["test_devicecache_greedy"] = out
 
