@@ -198,9 +198,11 @@ class InferenceConfig:
     selective_beam_frac: float = 0.0
     # Confidence signal the selective gate ranks rows by: "margin" (mean
     # top1-top2 log-prob gap; the measured-best gate on the flagship —
-    # selective_signal_ab.json), "logp" (mean chosen-token log-prob), or
-    # "entropy" (mean negative step entropy).  All three run in-kernel on
-    # the Pallas whole-decode paths.
+    # selective_signal_ab.json), "logp" (mean chosen-token log-prob),
+    # "entropy" (mean negative step entropy), or "margin_logp[:alpha]"
+    # (margin + alpha*logp composite, alpha default 1.0 — the r4
+    # single-accumulator blend).  All run in-kernel on the Pallas
+    # whole-decode paths.
     selective_signal: str = "margin"
     # Stop greedy/sampling decode once every sequence emitted END (the
     # reference's all-finished early break) — output-identical, faster on
@@ -471,12 +473,21 @@ def validate_config(cfg: Config) -> None:
         raise ValueError("training.label_smoothing must be in [0, 1)")
     if cfg.inference.beam_size < 0:
         raise ValueError("inference.beam_size must be >= 0")
-    if getattr(cfg.inference, "selective_signal", "logp") not in (
-        "logp", "margin", "entropy",
-    ):
+    _sig = getattr(cfg.inference, "selective_signal", "logp")
+    _sig_ok = _sig in ("logp", "margin", "entropy")
+    if not _sig_ok and _sig.startswith("margin_logp"):
+        # composite form "margin_logp" or "margin_logp:<alpha>"
+        try:
+            from img2latex_tpu.decoding.decode import signal_alpha
+
+            signal_alpha(_sig)
+            _sig_ok = _sig == "margin_logp" or _sig.startswith("margin_logp:")
+        except ValueError:
+            _sig_ok = False
+    if not _sig_ok:
         raise ValueError(
-            "inference.selective_signal must be logp, margin or entropy, "
-            f"got {cfg.inference.selective_signal!r}"
+            "inference.selective_signal must be logp, margin, entropy or "
+            f"margin_logp[:alpha], got {cfg.inference.selective_signal!r}"
         )
     if len(cfg.hardware.mesh_axes) != len(cfg.hardware.mesh_shape):
         raise ValueError("hardware.mesh_axes and mesh_shape must have equal length")

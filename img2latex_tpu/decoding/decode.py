@@ -36,6 +36,15 @@ import numpy as np
 StepFn = Callable[[jnp.ndarray, object], Tuple[jnp.ndarray, object]]
 
 
+def signal_alpha(signal: str, default: float = 1.0) -> float:
+    """Blend weight from a ``"margin_logp[:alpha]"`` selective-signal string.
+
+    The alpha rides inside the (static, hashable) signal string so the
+    composite needs no new DecodeConfig/kernel parameters; shared by the
+    scan path here and ``ops/pallas/decode_step._decode_loop``."""
+    return float(signal.split(":", 1)[1]) if ":" in signal else default
+
+
 @dataclass(frozen=True)
 class DecodeConfig:
     """Static decode settings (hashable -> usable as a jit static arg)."""
@@ -62,10 +71,13 @@ class DecodeConfig:
     #   "logp"    — chosen-token log-prob (the kernels emit this in-kernel)
     #   "margin"  — log-prob gap between the top-1 and top-2 tokens
     #   "entropy" — negative entropy of the step distribution
+    #   "margin_logp[:alpha]" — margin + alpha*logp per step (alpha defaults
+    #     to 1.0), the single-accumulator composite from the r4 offline
+    #     search (scripts/selective_signal_ab.py "composites")
     # Measured on the CNN flagship (scripts/selective_signal_ab.py,
     # artifacts/mathtext_hard_grid_v2/selective_signal_ab.json): margin
     # captures 32/48/55/74% of beam's BLEU gain at frac 0.1/0.2/0.3/0.5 vs
-    # logp's 22/38/50/70% — margin is the default.  All three signals run
+    # logp's 22/38/50/70% — margin is the default.  All signals run
     # in-kernel on the Pallas whole-decode paths (decode_step._decode_loop).
     selective_signal: str = "margin"
     # Stop the decode loop as soon as every sequence has emitted END — the
@@ -188,6 +200,14 @@ def greedy_sample_decode(
                 # keeping select_uncertain's bottom-k rule uniform.
                 p = jnp.exp(logp)
                 step_score = jnp.sum(p * logp, axis=-1)
+            elif cfg.selective_signal.startswith("margin_logp"):
+                # composite: margin + alpha*chosen-logp, one accumulator
+                # (same blend the kernels run; alpha parsed from the static
+                # signal string so no extra plumbing/jit-key fields).
+                alpha = signal_alpha(cfg.selective_signal)
+                top2, _ = jax.lax.top_k(logp, 2)
+                chosen_lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+                step_score = (top2[:, 0] - top2[:, 1]) + alpha * chosen_lp
             else:  # "logp"
                 step_score = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
             score = score + jnp.where(finished, 0.0, step_score)

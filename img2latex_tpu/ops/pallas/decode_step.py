@@ -334,6 +334,24 @@ def _decode_loop(
                 lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
                 logp = logits - lse
                 step = jnp.sum(jnp.exp(logp) * logp, axis=-1, keepdims=True)
+            elif signal.startswith("margin_logp"):
+                # composite: margin + alpha*chosen-logp in ONE accumulator
+                # (r4 offline search, scripts/selective_signal_ab.py).  The
+                # margin needs no logsumexp (it cancels); the logp term does.
+                from img2latex_tpu.decoding.decode import signal_alpha
+
+                alpha = signal_alpha(signal)
+                top1 = jnp.max(logits, axis=-1, keepdims=True)
+                rest = jnp.where(col == nxt, -1e30, logits)
+                lse = top1 + jnp.log(
+                    jnp.sum(jnp.exp(logits - top1), axis=-1, keepdims=True)
+                )
+                chosen = jnp.sum(
+                    jnp.where(col == nxt, logits, 0.0), axis=-1, keepdims=True
+                )
+                step = (top1 - jnp.max(rest, axis=-1, keepdims=True)) + alpha * (
+                    chosen - lse
+                )
             else:  # "logp": log-prob of the chosen token
                 m = jnp.max(logits, axis=-1, keepdims=True)
                 lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))

@@ -9,10 +9,23 @@ selective output for (signal, frac) is assembled on host: replace the frac
 least-confident rows' greedy decode with their full-beam decode — exactly the
 live selective path's result, without re-decoding per configuration.
 
+Round-4 additions (VERDICT r3 weak #5: margin captures 48% at frac 0.2 vs
+the 50% target — ceiling or signal?):
+  * ``oracle`` row — rank rows by the beam's ACTUAL per-row sentence-BLEU
+    improvement (unobservable live; computed only where beam != greedy).
+    Its capture curve is the upper bound ANY gating signal can reach, and
+    ``beam_changed_frac`` says how many rows beam touches at all.
+  * ``composites`` — host-side search over one-accumulator combinations
+    (margin + alpha*logp per step: implementable as a single in-kernel f32
+    accumulator) and a rank-sum blend, reported at every frac.
+  * ``--save-rows FILE.npz`` — per-row tokens/targets/raw signals for any
+    further offline search without another chip run.
+
 Usage:
   python scripts/selective_signal_ab.py CKPT --data-dir DIR [--split test]
       [--beam-size 5] [--length-penalty 1.5] [--fracs 0.1,0.2,0.3,0.5]
       [--batch-size 256] [--max-batches N] [--out artifacts/...json]
+      [--save-rows artifacts/...npz]
 """
 
 from __future__ import annotations
@@ -42,6 +55,8 @@ def main() -> None:
     ap.add_argument("--max-batches", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--save-rows", default=None,
+                    help="npz dump of per-row tokens/targets/signals")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -162,9 +177,9 @@ def main() -> None:
         "signals": {},
     }
     fracs = [float(f) for f in args.fracs.split(",")]
-    for s in signals:
-        mean_score = np.concatenate(scores[s]) / lengths
-        order = np.argsort(mean_score)  # ascending: least confident first
+
+    def capture_curve(order, label):
+        """Mix beam into the `frac` first rows of `order`; corpus BLEU + capture."""
         rows = {}
         for frac in fracs:
             k = max(1, math.ceil(frac * N))
@@ -175,9 +190,58 @@ def main() -> None:
                 "bleu": bleu_m,
                 "capture": (bleu_m - bleu_g["bleu"]) / gain if gain > 0 else None,
             }
-            print(f"{s} frac {frac}: bleu {bleu_m:.4f} "
+            print(f"{label} frac {frac}: bleu {bleu_m:.4f} "
                   f"capture {rows[str(frac)]['capture']}", flush=True)
-        out["signals"][s] = rows
+        return rows
+
+    raw = {s: np.concatenate(scores[s]) for s in signals}
+    for s in signals:
+        out["signals"][s] = capture_curve(np.argsort(raw[s] / lengths), s)
+
+    # ---- oracle upper bound (r4): rank by beam's ACTUAL per-row gain ------
+    # Unobservable live (needs the target), but it bounds what any signal
+    # can capture at a frac, and beam_changed_frac bounds the useful frac:
+    # rows where beam == greedy contribute exactly nothing.
+    changed = [i for i in range(N) if not np.array_equal(g_ids[i], b_ids[i])]
+    out["beam_changed_frac"] = len(changed) / N
+    delta = np.zeros(N)
+    bleu_n = cfg.evaluation.bleu_n
+    for i in changed:
+        delta[i] = (
+            calculate_metrics([b_ids[i]], [t_ids[i]], bleu_n)["bleu"]
+            - calculate_metrics([g_ids[i]], [t_ids[i]], bleu_n)["bleu"]
+        )
+    out["signals"]["oracle"] = capture_curve(np.argsort(-delta), "oracle")
+
+    # ---- composite search (r4): single-accumulator blends -----------------
+    # (margin + alpha*logp) summed per step is ONE extra f32 accumulator in
+    # the whole-decode kernels -> directly implementable if it wins.
+    out["composites"] = {}
+    for alpha in (0.25, 0.5, 1.0, 2.0, 4.0):
+        m = (raw["margin"] + alpha * raw["logp"]) / lengths
+        out["composites"][f"margin+{alpha}*logp"] = capture_curve(
+            np.argsort(m), f"margin+{alpha}*logp")
+    rank_sum = (np.argsort(np.argsort(raw["margin"] / lengths))
+                + np.argsort(np.argsort(raw["logp"] / lengths)))
+    out["composites"]["rank_sum(margin,logp)"] = capture_curve(
+        np.argsort(rank_sum, kind="stable"), "rank_sum")
+
+    if args.save_rows:
+        os.makedirs(os.path.dirname(args.save_rows) or ".", exist_ok=True)
+        T = max(max(map(len, g_ids)), max(map(len, b_ids)), max(map(len, t_ids)))
+
+        def pad(rows_):
+            a = np.full((N, T), tok.pad_token_id, dtype=np.int32)
+            for i, r in enumerate(rows_):
+                a[i, : len(r)] = r
+            return a
+
+        np.savez_compressed(
+            args.save_rows, greedy=pad(g_ids), beam=pad(b_ids),
+            targets=pad(t_ids), lengths=lengths, delta=delta,
+            **{f"raw_{s}": raw[s] for s in signals},
+        )
+        print("wrote", args.save_rows)
 
     if args.out:
         os.makedirs(os.path.dirname(args.out), exist_ok=True)

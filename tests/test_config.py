@@ -59,6 +59,17 @@ def test_validation_errors():
         config_from_dict({"training": {"label_smoothing": 1.5}})
 
 
+def test_selective_signal_validation():
+    # plain + composite forms accepted
+    for sig in ("logp", "margin", "entropy", "margin_logp", "margin_logp:0.5"):
+        cfg = config_from_dict({"inference": {"selective_signal": sig}})
+        assert cfg.inference.selective_signal == sig
+    # junk names and a non-numeric alpha rejected
+    for sig in ("confidence", "margin_logp:abc", "margin_logpx"):
+        with pytest.raises(ValueError):
+            config_from_dict({"inference": {"selective_signal": sig}})
+
+
 def test_yaml_roundtrip(tmp_path):
     cfg = Config()
     cfg.training.epochs = 7

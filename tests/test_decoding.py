@@ -496,7 +496,7 @@ class TestSelectiveSignals:
 
         return step
 
-    @pytest.mark.parametrize("signal", ["logp", "margin", "entropy"])
+    @pytest.mark.parametrize("signal", ["logp", "margin", "entropy", "margin_logp", "margin_logp:0.5"])
     def test_uniform_row_ranks_less_confident(self, signal):
         from img2latex_tpu.decoding.decode import select_uncertain
 

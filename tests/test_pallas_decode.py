@@ -173,7 +173,7 @@ class TestGreedyScores:
             step_fn, init_decoder_carry(2, B, 128), B, dcfg, return_scores=True
         )
 
-    @pytest.mark.parametrize("signal", ["logp", "margin", "entropy"])
+    @pytest.mark.parametrize("signal", ["logp", "margin", "entropy", "margin_logp", "margin_logp:0.5"])
     def test_scores_match_scan_oracle(self, setup, signal):
         from img2latex_tpu.ops.pallas.decode_step import pallas_full_greedy_decode
 

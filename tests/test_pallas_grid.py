@@ -133,7 +133,7 @@ class TestGridGreedyKernel:
 
 
 class TestGridGreedyScores:
-    @pytest.mark.parametrize("signal", ["logp", "margin", "entropy"])
+    @pytest.mark.parametrize("signal", ["logp", "margin", "entropy", "margin_logp", "margin_logp:0.5"])
     def test_scores_match_scan_oracle(self, setup, signal):
         """Kernel confidence (per-step logp/margin/entropy sums) == scan
         oracle at f32, incl. under tiling + early_exit (selective-beam
