@@ -205,7 +205,7 @@ class TestSelectiveSignalRouting:
     and outputs keep the selective contract: every row is its greedy or its
     full-beam decode."""
 
-    @pytest.mark.parametrize("signal", ["margin", "entropy"])
+    @pytest.mark.parametrize("signal", ["margin", "entropy", "margin_logp:0.5"])
     def test_scan_semantics(self, memory, signal):
         pred = _predictor(memory)
         pred.cfg.inference.selective_signal = signal
@@ -218,7 +218,7 @@ class TestSelectiveSignalRouting:
         )
         assert all(s == g or s == b for s, g, b in zip(sel, greedy, beam))
 
-    @pytest.mark.parametrize("signal", ["margin", "entropy"])
+    @pytest.mark.parametrize("signal", ["margin", "entropy", "margin_logp:0.5"])
     def test_signals_kernel_matches_scan(self, memory, signal):
         """With pallas enabled and a non-logp signal, the in-kernel
         confidence must rank rows identically to the scan oracle — same
