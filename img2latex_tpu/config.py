@@ -476,12 +476,14 @@ def validate_config(cfg: Config) -> None:
     _sig = getattr(cfg.inference, "selective_signal", "logp")
     _sig_ok = _sig in ("logp", "margin", "entropy")
     if not _sig_ok and _sig.startswith("margin_logp"):
-        # composite form "margin_logp" or "margin_logp:<alpha>"
+        # composite form "margin_logp" or "margin_logp:<alpha>"; signal_alpha
+        # is strict (exact head, finite alpha — rejects "margin_logpx",
+        # "margin_logp:nan"/":inf"), so validity is exactly "it parses".
         try:
             from img2latex_tpu.decoding.decode import signal_alpha
 
             signal_alpha(_sig)
-            _sig_ok = _sig == "margin_logp" or _sig.startswith("margin_logp:")
+            _sig_ok = True
         except ValueError:
             _sig_ok = False
     if not _sig_ok:

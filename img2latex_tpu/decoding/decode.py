@@ -24,6 +24,7 @@ Semantics parity (verified against numpy oracles in ``tests/test_decoding.py``):
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable, List, Optional, Tuple
@@ -41,8 +42,23 @@ def signal_alpha(signal: str, default: float = 1.0) -> float:
 
     The alpha rides inside the (static, hashable) signal string so the
     composite needs no new DecodeConfig/kernel parameters; shared by the
-    scan path here and ``ops/pallas/decode_step._decode_loop``."""
-    return float(signal.split(":", 1)[1]) if ":" in signal else default
+    scan path here and ``ops/pallas/decode_step._decode_loop``.
+
+    Strict: the head must be exactly ``margin_logp`` and the alpha finite,
+    so a typo like ``"margin_logpx"`` (which would pass a bare
+    ``startswith`` dispatch) or ``"margin_logp:nan"`` (which ``float()``
+    happily parses but would poison every confidence score) raises here —
+    at trace/validate time — instead of silently mis-gating rows."""
+    head, _, tail = signal.partition(":")
+    if head != "margin_logp":
+        raise ValueError(
+            f"malformed composite selective signal {signal!r} "
+            "(expected 'margin_logp' or 'margin_logp:<alpha>')"
+        )
+    alpha = float(tail) if tail else default
+    if not math.isfinite(alpha):
+        raise ValueError(f"selective-signal alpha must be finite, got {alpha!r}")
+    return alpha
 
 
 @dataclass(frozen=True)

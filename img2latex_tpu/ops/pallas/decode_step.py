@@ -264,6 +264,16 @@ def _decode_loop(
         (``scripts/selective_signal_ab.py``);
       * ``"entropy"`` — negative entropy of the step distribution.
 
+    GREEDY-ONLY assumption for the margin-family signals: ``"margin"`` and
+    ``"margin_logp[:alpha]"`` mask the *chosen* token ``nxt`` to find the
+    runner-up, which equals masking the argmax only when ``next_token`` is
+    greedy.  A sampling ``next_token`` would make the margin degenerate to
+    ~0 whenever the draw is not the argmax.  This is safe today because no
+    sampling entry point accepts ``score_ref``/``signal``
+    (``pallas_full_sample_decode`` has neither parameter) and the selective
+    path requests scores only on greedy kernels (``predictor.py``); any new
+    sampling-with-scores entry must switch the margin to a true top-2.
+
     The selective-beam path ranks sequences by this confidence to choose
     which rows get a beam re-decode (``predictor.py``).  The padded vocab
     columns carry a ~-1e30 bias (``pack_decoder_weights``) so they vanish
