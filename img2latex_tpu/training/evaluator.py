@@ -347,6 +347,41 @@ def _evaluate_whole_split(pred, cfg, tok, split, loader, cached, big, dcfg,
     n_images = sum(
         int(b.get("n_valid_local", b.get("n_valid", B))) for b in cached
     )
+    ds = loader.dataset
+
+    def _post(toks_np):
+        """Full per-pass host post-processing: trim, detokenize, rows.
+        This is exactly what a repeated eval / long-lived server pays per
+        request, so the steady passes below run it per pass (overlapped
+        under the next pass's device decode, not once at the end)."""
+        all_preds, all_tgts, rows = [], [], []
+        sample_offset = 0
+        for bi, b in enumerate(cached):
+            n_local = int(b.get("n_valid_local", b.get("n_valid", B)))
+            pred_ids = trim_host(
+                toks_np[bi, :n_local], tok.end_token_id, tok.pad_token_id,
+                start_id=tok.start_token_id,
+            )
+            tgt_ids = tgt_ids_batches[bi]
+            all_preds.extend(pred_ids)
+            all_tgts.extend(tgt_ids)
+            pred_strs = tok.decode_rows(pred_ids)
+            tgt_strs = tgt_str_batches[bi]
+            for j in range(n_local):
+                idx = sample_offset + j
+                name = (
+                    ds.samples[idx][0]
+                    if idx < len(ds.samples) and not loader.shuffle
+                    else None
+                )
+                rows.append({
+                    "image": name,
+                    "prediction": pred_strs[j],
+                    "reference": tgt_strs[j],
+                })
+            sample_offset += int(b.get("n_valid", B))
+        return all_preds, all_tgts, rows
+
     t0 = time.perf_counter()
     toks_np = np.asarray(run(images_all, keys))  # blocks: compile+decode+fetch
     first_wall = time.perf_counter() - t0
@@ -355,43 +390,34 @@ def _evaluate_whole_split(pred, cfg, tok, split, loader, cached, big, dcfg,
         "seconds": first_wall,
         "images": n_images,
     }]
+    # Steady passes pipeline host post against device decode (round-4 verdict
+    # weak #7: resident trailed decode-only 1.47x and the residual was the
+    # per-pass host post).  JAX dispatch is asynchronous, so pass N+1 is
+    # dispatched FIRST, pass N's tokens are post-processed on the host while
+    # the device decodes, and only then is pass N+1 fetched (np.asarray
+    # blocks).  Per-pass steady cost becomes ~max(device decode, host post)
+    # instead of their sum; the last pass's post is the pipeline drain — one
+    # constant exposed post per eval, amortized over the steady passes.
+    posted = None
     for _ in range(max(passes, 1) - 1):
         t0 = time.perf_counter()
-        toks_np = np.asarray(run(images_all, keys))
+        fut = run(images_all, keys)  # async dispatch of the next pass
         stats["dispatch_s"] = stats.get("dispatch_s", 0.0) + (
             time.perf_counter() - t0
         )
+        t1 = time.perf_counter()
+        posted = _post(toks_np)  # rides under the device decode
+        stats["post_s"] = stats.get("post_s", 0.0) + (time.perf_counter() - t1)
+        t2 = time.perf_counter()
+        toks_np = np.asarray(fut)
+        stats["fetch_s"] = stats.get("fetch_s", 0.0) + (time.perf_counter() - t2)
         stats["steady_images"] = stats.get("steady_images", 0) + n_images
-
+    # Drain: the final pass's tokens still need their post (identical output
+    # for deterministic decodes, but the timing contract runs it for real).
     t1 = time.perf_counter()
-    all_preds, all_tgts, rows = [], [], []
-    ds = loader.dataset
-    sample_offset = 0
-    for bi, b in enumerate(cached):
-        n_local = int(b.get("n_valid_local", b.get("n_valid", B)))
-        pred_ids = trim_host(
-            toks_np[bi, :n_local], tok.end_token_id, tok.pad_token_id,
-            start_id=tok.start_token_id,
-        )
-        tgt_ids = tgt_ids_batches[bi]
-        all_preds.extend(pred_ids)
-        all_tgts.extend(tgt_ids)
-        pred_strs = tok.decode_rows(pred_ids)
-        tgt_strs = tgt_str_batches[bi]
-        for j in range(n_local):
-            idx = sample_offset + j
-            name = (
-                ds.samples[idx][0]
-                if idx < len(ds.samples) and not loader.shuffle
-                else None
-            )
-            rows.append({
-                "image": name,
-                "prediction": pred_strs[j],
-                "reference": tgt_strs[j],
-            })
-        sample_offset += int(b.get("n_valid", B))
-    stats["post_s"] = time.perf_counter() - t1
+    all_preds, all_tgts, rows = _post(toks_np)
+    stats["post_s"] = stats.get("post_s", 0.0) + (time.perf_counter() - t1)
+    del posted
     wall = time.perf_counter() - wall0
     return _finish(
         cfg, tok, split, all_preds, all_tgts, rows, n_images, stats, wall,

@@ -114,6 +114,23 @@ class TestEvaluator:
         )
         assert once["images_per_second_includes_compile"] is True
         assert once["bleu"] == pytest.approx(loop["bleu"], abs=1e-9)
+        # passes=4: the pipelined steady loop (dispatch N+1 -> post N ->
+        # fetch N+1) interleaves repeatedly; outputs and metrics must be
+        # unchanged and every steady pass must charge a post window.
+        many = evaluate_checkpoint(
+            ckpt, data_dir=corpus, split="test", batch_size=4,
+            output_dir=str(tmp_path / "many"),
+            config_overrides={"data.device_cache": True},
+            passes=4,
+        )
+        c = json.loads((tmp_path / "many" / "predictions.json").read_text())
+        assert [r["prediction"] for r in c["predictions"]] == [
+            r["prediction"] for r in b["predictions"]
+        ]
+        assert many["bleu"] == pytest.approx(loop["bleu"], abs=1e-9)
+        assert many["decode_passes"] == 4
+        assert many["steady_images"] == 8 * 3
+        assert many["host_post_seconds"] > 0
 
     def test_whole_split_beam_and_sampling(self, trained_ckpt):
         """Whole-split covers every decode family: beam (deterministic — must
