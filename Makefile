@@ -8,7 +8,7 @@ DATA_DIR ?= data
 
 .PHONY: help test test-fast lint train train-resnet predict evaluate serve metrics \
         curves report analyze-images analyze-project bench bench-beam bench-train \
-        bench-kernels quality-run dryrun native clean
+        bench-kernels quality-run dryrun native clean prime
 
 help:
 	@grep -E '^[a-z-]+:' Makefile | sed 's/:.*//' | sort | uniq
@@ -64,6 +64,9 @@ bench-kernels:  # decode paths + conv1 kernel microbenches (real TPU)
 
 serve:
 	$(PY) -m img2latex_tpu serve $(CHECKPOINT) --port 8000
+
+prime:  # pre-compile decode executables into the persistent compilation cache
+	$(PY) -m img2latex_tpu prime $(CHECKPOINT) --batch-sizes 16,256
 
 quality-run:  # rendered-LaTeX corpus -> train -> free-running eval -> artifacts
 	$(PY) scripts/run_mathtext_quality.py

@@ -346,6 +346,37 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
 # ---------------------------------------------------------------------------
 
 
+def cmd_prime(args: argparse.Namespace) -> int:
+    """Pre-compile decode executables into the persistent compilation cache
+    (cold-start mitigation: a later evaluate/serve/predict with the same
+    hardware.compilation_cache_dir starts at warm-deserialize cost instead
+    of a full XLA compile — see training/prime.py)."""
+    from img2latex_tpu.training.prime import prime_checkpoint
+
+    report = prime_checkpoint(
+        args.checkpoint,
+        batch_sizes=[int(b) for b in args.batch_sizes.split(",") if b],
+        beam_size=args.beam_size,
+        length_penalty=args.length_penalty,
+        selective_frac=args.selective_frac,
+        temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        bucket_widths=(
+            [int(b) for b in args.buckets.split(",") if b] if args.buckets else None
+        ),
+        split_batches=args.split_batches,
+        split_batch_size=args.split_batch_size,
+        config_overrides=_parse_overrides(args),
+    )
+    print(json.dumps(report, indent=2))
+    if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+    return 0
+
+
 def cmd_serve(args: argparse.Namespace) -> int:
     """Dynamic-batching HTTP inference server (no reference equivalent)."""
     from img2latex_tpu.serving_http import serve
@@ -554,7 +585,36 @@ def build_parser() -> argparse.ArgumentParser:
                          "e.g. hardware.use_pallas_decode=false")
     ev.set_defaults(func=cmd_evaluate)
 
-    # visualize
+    # prime
+    pm = sub.add_parser(
+        "prime",
+        help="Pre-compile decode executables into the persistent compilation "
+             "cache (hardware.compilation_cache_dir) so a later evaluate/"
+             "serve/predict process starts warm — data-free, AOT",
+    )
+    pm.add_argument("checkpoint")
+    pm.add_argument("--batch-sizes", default="16",
+                    help="Comma list of per-batch decode batch sizes to prime")
+    pm.add_argument("--beam-size", type=int, default=None)
+    pm.add_argument("--length-penalty", type=float, default=None)
+    pm.add_argument("--selective-frac", type=float, default=None)
+    pm.add_argument("--temperature", type=float, default=None)
+    pm.add_argument("--top-k", type=int, default=None)
+    pm.add_argument("--top-p", type=float, default=None)
+    pm.add_argument("--buckets", default=None,
+                    help="Comma list of bucket content widths to prime "
+                         "(one executable per width, as bucketed eval/serving builds)")
+    pm.add_argument("--split-batches", type=int, default=0,
+                    help="Prime the whole-split resident program over this "
+                         "many device-cached batches (0 = skip)")
+    pm.add_argument("--split-batch-size", type=int, default=None,
+                    help="Batch size of the whole-split program "
+                         "(default: max of --batch-sizes)")
+    pm.add_argument("--out", default=None, help="Write the prime report JSON here")
+    pm.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="Dotted override applied to the checkpoint's config")
+    pm.set_defaults(func=cmd_prime)
+
     sv = sub.add_parser("serve", help="HTTP inference server (dynamic batching)")
     sv.add_argument("checkpoint")
     sv.add_argument("--host", default="127.0.0.1")

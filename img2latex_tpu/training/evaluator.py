@@ -81,6 +81,17 @@ def evaluate_checkpoint(
     import copy
 
     cfg = copy.deepcopy(pred.cfg)
+    if predictor is not None and config_overrides:
+        # With a caller-supplied predictor the overrides can't ride the
+        # checkpoint load — apply them to the evaluation's config copy
+        # instead of silently ignoring them (same validation as the load
+        # path).  Note model/hardware-shaping keys still can't change an
+        # already-built predictor; data/inference keys are the intended use.
+        from img2latex_tpu.config import set_by_path, validate_config
+
+        for dotted, value in config_overrides.items():
+            set_by_path(cfg, dotted, value)
+        validate_config(cfg)
     if data_dir:
         cfg.data.data_dir = data_dir
     if batch_size:
