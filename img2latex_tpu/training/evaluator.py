@@ -126,7 +126,8 @@ def evaluate_checkpoint(
         # too wide for the canvas only disables individual buckets
         # (_assign_bucket), never silently un-buckets the whole run.
         return _evaluate_bucketed(
-            pred, cfg, loader, dcfg, split, bucket_widths, max_batches, output_dir
+            pred, cfg, loader, dcfg, split, bucket_widths, max_batches,
+            output_dir, passes,
         )
 
     stats: Dict[str, Any] = {}
@@ -549,13 +550,24 @@ def _finish(cfg, tok, split, all_preds, all_tgts, rows, n_images, stats,
     return result
 
 
-def _evaluate_bucketed(pred, cfg, loader, dcfg, split, bucket_widths, max_batches, output_dir):
+def _evaluate_bucketed(pred, cfg, loader, dcfg, split, bucket_widths,
+                       max_batches, output_dir, passes: int = 1):
     """Aspect-bucketed evaluation: decode straight from the image files (the
     buckets need natural widths, which the fixed-canvas loader discards).
     Encoder cost scales with each image's bucket; outputs are identical to
-    the fixed-canvas path (Predictor._predict_bucketed).  Host prep pipelines
-    against device decode inside predict_batch; per-bucket-width compiles are
-    excluded from the steady-state numbers via the shared stats contract."""
+    the fixed-canvas path (Predictor._predict_bucketed).
+
+    Two execution shapes, chosen by the same knobs as the unbucketed path:
+
+    * streaming (default): chunked ``predict_batch`` — host prep pipelines
+      against device decode, per-bucket-width compiles excluded from
+      steady-state via the shared stats contract;
+    * resident (``data.device_cache`` + ``inference.whole_split``): one
+      whole-split ``lax.map`` program PER BUCKET over the bucket's uploaded
+      canvases (``Predictor.predict_split_bucketed``) — one dispatch + one
+      fetch per bucket instead of 2 RTTs per batch (round-4 verdict #6:
+      bucketed shapes are per-bucket, so whole-split becomes per-bucket
+      whole-split)."""
     tok = pred.tokenizer
     ds = loader.dataset
     n = len(ds.samples)
@@ -568,22 +580,31 @@ def _evaluate_bucketed(pred, cfg, loader, dcfg, split, bucket_widths, max_batche
             p += ".png"
         paths.append(p)
     stats: Dict[str, Any] = {}
+    use_split = bool(getattr(cfg.data, "device_cache", False)) and getattr(
+        cfg.inference, "whole_split", True
+    ) and getattr(loader, "process_count", 1) == 1
     t0 = time.perf_counter()
-    pred_ids = pred.predict_batch(
-        paths,
-        beam_size=dcfg.beam_size,
-        max_length=dcfg.max_length,
-        temperature=dcfg.temperature,
-        top_k=dcfg.top_k,
-        top_p=dcfg.top_p,
-        length_penalty=dcfg.length_penalty,
-        early_exit=dcfg.early_exit,
-        batch_size=loader.batch_size,
-        return_ids=True,
-        bucket_widths=bucket_widths,
-        selective_beam_frac=dcfg.selective_beam_frac,
-        stats=stats,
-    )
+    if use_split:
+        pred_ids = pred.predict_split_bucketed(
+            paths, dcfg, loader.batch_size, bucket_widths,
+            passes=passes, stats=stats,
+        )
+    else:
+        pred_ids = pred.predict_batch(
+            paths,
+            beam_size=dcfg.beam_size,
+            max_length=dcfg.max_length,
+            temperature=dcfg.temperature,
+            top_k=dcfg.top_k,
+            top_p=dcfg.top_p,
+            length_penalty=dcfg.length_penalty,
+            early_exit=dcfg.early_exit,
+            batch_size=loader.batch_size,
+            return_ids=True,
+            bucket_widths=bucket_widths,
+            selective_beam_frac=dcfg.selective_beam_frac,
+            stats=stats,
+        )
     wall = time.perf_counter() - t0
     tgt_rows = np.stack([ds.token_ids(i) for i in range(n)])
     tgt_ids = trim_host(tgt_rows[:, 1:], tok.end_token_id, tok.pad_token_id)
@@ -598,4 +619,8 @@ def _evaluate_bucketed(pred, cfg, loader, dcfg, split, bucket_widths, max_batche
     return _finish(
         cfg, tok, split, pred_ids, tgt_ids, rows, n, stats, wall, dcfg,
         output_dir, bucketed=True,
+        extra_fields=(
+            {"whole_split": True, "decode_passes": max(passes, 1)}
+            if use_split else None
+        ),
     )

@@ -182,6 +182,38 @@ class TestBucketedExactness:
         )
         assert fixed == bucketed
 
+    @pytest.mark.parametrize("memory", ["vector", "grid"])
+    def test_wholesplit_bucketed_equals_chunked(self, memory):
+        """The per-bucket whole-split resident path (one lax.map program per
+        bucket, Predictor.predict_split_bucketed) must reproduce the chunked
+        bucketed path exactly — including non-contiguous groups, a padded
+        final partial chunk, and multi-pass runs."""
+        from img2latex_tpu.decoding.decode import DecodeConfig
+
+        pred, cfg = _predictor(memory)
+        tok = pred.tokenizer
+        dcfg = DecodeConfig(
+            max_length=cfg.inference.max_length,
+            start_id=tok.start_token_id, end_id=tok.end_token_id,
+            pad_id=tok.pad_token_id,
+        )
+        # 2 buckets + full canvas, group sizes 3/2/1 with B=2 -> partial
+        # chunks in every group
+        imgs = _content_images([40, 90, 44, 96, 48, 230], h=32)
+        chunked = pred.predict_batch(
+            imgs, return_ids=True, beam_size=0, bucket_widths=[64, 128],
+            batch_size=2,
+        )
+        stats = {}
+        split = pred.predict_split_bucketed(
+            imgs, dcfg, 2, [64, 128], passes=3, stats=stats,
+        )
+        assert split == chunked
+        # accounting: one first_call per bucket program, steady window real
+        assert len(stats["first_calls"]) == 3
+        assert stats["steady_images"] == len(imgs) * 2
+        assert stats["post_s"] > 0 and stats["cache_build_s"] > 0
+
 
 class TestBucketedEvaluate:
     def test_evaluate_bucketed_matches_fixed(self, tmp_path):
@@ -216,6 +248,20 @@ class TestBucketedEvaluate:
         assert bucketed["num_images"] == fixed["num_images"]
         assert bucketed["bleu"] == pytest.approx(fixed["bleu"], abs=1e-9)
         assert bucketed["levenshtein"] == pytest.approx(fixed["levenshtein"], abs=1e-9)
+
+        # resident flavor: device_cache routes bucketed eval through the
+        # per-bucket whole-split programs; metrics and outputs unchanged
+        resident = evaluate_checkpoint(
+            ckpt, split="test", batch_size=4, bucket_widths=[64, 128, 192],
+            config_overrides={"data.device_cache": True}, passes=2,
+        )
+        assert resident["bucketed"] is True
+        assert resident.get("whole_split") is True
+        assert resident["decode_passes"] == 2
+        assert resident["bleu"] == pytest.approx(bucketed["bleu"], abs=1e-9)
+        assert resident["levenshtein"] == pytest.approx(
+            bucketed["levenshtein"], abs=1e-9
+        )
 
 
 def _resnet_predictor(memory="vector", vocab=24):
