@@ -111,12 +111,40 @@ def main() -> None:
     for s in sets + args.extra_sets:
         argv += ["--set", s]
 
-    # ---- 2) train --------------------------------------------------------
-    t0 = time.time()
-    rc = cli(argv)
-    print(f"train rc={rc} in {(time.time() - t0) / 60:.1f} min", flush=True)
-    if rc != 0:
-        sys.exit(rc)
+    # ---- 2) train (retry on transient backend errors, resuming) ----------
+    # The tunneled remote-compile service drops connections occasionally
+    # ("response body closed before all bytes were read", r5 pipeline run 1,
+    # ~once per multi-hour session); a crash must not lose the corpus render
+    # + training progress.  Each retry resumes from the newest epoch
+    # checkpoint of this experiment if any exists (auto-versioned resumed
+    # runs sort after the original, so the exp pick below stays correct).
+    def newest_ckpt():
+        dirs = sorted(glob.glob(os.path.join("outputs", args.experiment + "*")))
+        for d in reversed(dirs):
+            ck = os.path.join(d, "checkpoints")
+            if os.path.isdir(ck) and os.listdir(ck):
+                return ck
+        return None
+
+    max_attempts = 4
+    for attempt in range(1, max_attempts + 1):
+        t0 = time.time()
+        run_argv = list(argv)
+        resume = newest_ckpt() if attempt > 1 else None
+        if resume:
+            run_argv += ["--checkpoint-path", resume]
+            print(f"attempt {attempt}: resuming from {resume}", flush=True)
+        try:
+            rc = cli(run_argv)
+        except Exception as e:  # noqa: BLE001 - transient backend errors
+            print(f"train attempt {attempt} crashed: {e!r}", flush=True)
+            rc = 1
+        print(f"train rc={rc} in {(time.time() - t0) / 60:.1f} min", flush=True)
+        if rc == 0:
+            break
+        if attempt == max_attempts:
+            sys.exit(1)
+        time.sleep(30)  # let the tunnel settle
 
     exp_dirs = sorted(glob.glob(os.path.join("outputs", args.experiment + "*")))
     exp = exp_dirs[-1]
@@ -125,11 +153,19 @@ def main() -> None:
     # ---- 3) evaluate: free-running greedy + beam-5 -----------------------
     results = {}
     for tag, extra in (("greedy", []), ("beam5", ["--beam-size", "5"])):
-        t0 = time.time()
-        rc = cli(
-            ["evaluate", ckpt, "--split", "test", "--output-dir",
-             os.path.join(exp, f"predictions_{tag}")] + extra
-        )
+        for attempt in (1, 2):
+            t0 = time.time()
+            try:
+                rc = cli(
+                    ["evaluate", ckpt, "--split", "test", "--output-dir",
+                     os.path.join(exp, f"predictions_{tag}")] + extra
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"evaluate {tag} attempt {attempt} crashed: {e!r}", flush=True)
+                rc = 1
+            if rc == 0:
+                break
+            time.sleep(30)
         print(f"evaluate {tag} rc={rc} in {time.time() - t0:.0f}s", flush=True)
         pred_file = os.path.join(exp, f"predictions_{tag}", "predictions.json")
         with open(pred_file) as f:
