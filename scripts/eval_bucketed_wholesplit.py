@@ -71,8 +71,15 @@ def main() -> None:
     wholesplit = run({"data.device_cache": True}, args.passes)
     print("bucketed wholesplit:", json.dumps(wholesplit), flush=True)
 
-    assert abs(perbatch["bleu"] - wholesplit["bleu"]) < 1e-9, (
-        "bucketed paths diverged: the comparison is void"
+    # The two paths run the same per-row impl but are DIFFERENT XLA programs
+    # (chunked per-batch vs lax.map whole-split); bf16 reduction-order drift
+    # can flip a near-tie argmax on a handful of rows on chip (measured
+    # |dBLEU| 2.5e-5 on the r5 ResNet flagship).  Exact equality is asserted
+    # in the f32 CPU tests (tests/test_buckets.py); here guard against real
+    # divergence only.
+    dbleu = abs(perbatch["bleu"] - wholesplit["bleu"])
+    assert dbleu < 1e-3, (
+        f"bucketed paths diverged (|dBLEU| {dbleu}): the comparison is void"
     )
     out = {
         "ckpt": args.ckpt,
@@ -80,6 +87,7 @@ def main() -> None:
         "widths": widths,
         "batch": args.batch,
         "passes": args.passes,
+        "bleu_abs_delta": dbleu,
         "bucketed_perbatch": perbatch,
         "bucketed_wholesplit": wholesplit,
         "resident_speedup_vs_perbatch_e2e": (

@@ -54,6 +54,11 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--max-batches", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--use-mesh", action="store_true",
+                    help="keep the predictor's default product-mesh wrapping "
+                         "(the r5 cap640 run showed the no-mesh jit can "
+                         "scoped-VMEM-OOM kernels that compile under the "
+                         "mesh path the battery uses)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--save-rows", default=None,
                     help="npz dump of per-row tokens/targets/signals")
@@ -70,7 +75,9 @@ def main() -> None:
 
     pred = Predictor.from_checkpoint(
         args.checkpoint,
-        config_overrides={"hardware.use_mesh": False},
+        config_overrides=(
+            None if args.use_mesh else {"hardware.use_mesh": False}
+        ),
     )
     import copy
 
