@@ -26,7 +26,11 @@ Every executable's FIRST call carries its XLA compile; steady-state numbers
 exclude each first call and exactly its images, consistently:
 
 * ``end_to_end_seconds``   — total wall: prep + upload + compile + decode + post
-* ``decode_seconds``       — steady-state device dispatch + blocking wait only
+* ``decode_seconds``       — steady-state device dispatch + blocking wait only.
+  NOTE: in the overlapped whole-split passes (r5) the fetch blocks only for
+  transfer — the device compute rides under the host post of the previous
+  pass — so decode_seconds there understates per-pass device time and
+  ``images_per_second_resident`` is the honest steady rate.
 * ``compile_and_first_batch_seconds`` — sum of first-call walls (one per executable)
 * ``host_prep_seconds`` / ``host_post_seconds`` / ``input_wait_seconds`` /
   ``cache_build_seconds`` — host-side buckets (prep overlaps decode, so the
