@@ -196,10 +196,26 @@ def evaluate_checkpoint(
             # cached batch — one dispatch + one fetch for the split instead
             # of 2 host round trips per batch (round-3 verdict weak #1).
             stats["cache_build_s"] = time.perf_counter() - t0
-            return _evaluate_whole_split(
-                pred, cfg, tok, split, loader, cached, big, dcfg, stats,
-                wall0, output_dir, passes,
-            )
+            try:
+                return _evaluate_whole_split(
+                    pred, cfg, tok, split, loader, cached, big, dcfg, stats,
+                    wall0, output_dir, passes,
+                )
+            except jax.errors.JaxRuntimeError as e:
+                # Availability over the fast path: some shapes can't compile
+                # the nested lax.map program (measured r5: hidden-640 grid
+                # kernels scoped-VMEM-OOM at the auto tile inside the
+                # whole-split nesting while the SAME kernel compiles
+                # per-batch).  Fall back to the per-batch device-cached
+                # loop — slower (2 RTTs/batch on remoted backends), same
+                # outputs.
+                logger.warning(
+                    "whole-split program failed to build (%s); falling back "
+                    "to the per-batch device-cached loop. Hint: "
+                    "IMG2LATEX_VMEM_BUDGET_MB=48 shrinks the kernel tile "
+                    "and restores the whole-split path on wide-hidden grid "
+                    "models.", str(e).splitlines()[0] if str(e) else e,
+                )
         if cached:
             off = 0
             for b in cached:
@@ -589,11 +605,25 @@ def _evaluate_bucketed(pred, cfg, loader, dcfg, split, bucket_widths,
     ) and getattr(loader, "process_count", 1) == 1
     t0 = time.perf_counter()
     if use_split:
-        pred_ids = pred.predict_split_bucketed(
-            paths, dcfg, loader.batch_size, bucket_widths,
-            passes=passes, stats=stats,
-        )
-    else:
+        try:
+            pred_ids = pred.predict_split_bucketed(
+                paths, dcfg, loader.batch_size, bucket_widths,
+                passes=passes, stats=stats,
+            )
+        except jax.errors.JaxRuntimeError as e:
+            # Same availability fallback as the unbucketed whole-split path
+            # (wide-hidden grid kernels can scoped-VMEM-OOM inside the
+            # nested lax.map): degrade to the streaming chunked path.
+            logger.warning(
+                "per-bucket whole-split failed to build (%s); falling back "
+                "to the streaming bucketed path. Hint: "
+                "IMG2LATEX_VMEM_BUDGET_MB=48 shrinks the kernel tile.",
+                str(e).splitlines()[0] if str(e) else e,
+            )
+            use_split = False
+            stats = {}
+            t0 = time.perf_counter()
+    if not use_split:
         pred_ids = pred.predict_batch(
             paths,
             beam_size=dcfg.beam_size,

@@ -152,6 +152,57 @@ class TestEvaluator:
             assert whole.get("whole_split") is True
             assert whole["bleu"] == pytest.approx(loop["bleu"], abs=1e-9), kwargs
 
+    def test_whole_split_compile_failure_falls_back(self, trained_ckpt, monkeypatch):
+        """A whole-split program that fails to build (r5 finding: hidden-640
+        grid kernels scoped-VMEM-OOM inside the nested lax.map while the
+        same kernel compiles per-batch) must degrade LOUDLY to the
+        per-batch device-cached loop, not fail the evaluation."""
+        import jax
+
+        from img2latex_tpu.training.predictor import Predictor
+
+        ckpt, corpus, _ = trained_ckpt
+        plain = evaluate_checkpoint(ckpt, data_dir=corpus, split="test", batch_size=4)
+
+        def boom(self, n_batches, batch, dcfg, width=None):
+            def run(images, keys):
+                raise jax.errors.JaxRuntimeError("INTERNAL: scoped vmem OOM (test)")
+            return run
+
+        monkeypatch.setattr(Predictor, "_decode_split_fn", boom)
+        out = evaluate_checkpoint(
+            ckpt, data_dir=corpus, split="test", batch_size=4,
+            config_overrides={"data.device_cache": True},
+        )
+        assert "whole_split" not in out  # fell back to the per-batch loop
+        assert out["bleu"] == pytest.approx(plain["bleu"], abs=1e-9)
+        assert out["num_images"] == plain["num_images"]
+
+    def test_bucketed_wholesplit_compile_failure_falls_back(
+        self, trained_ckpt, monkeypatch
+    ):
+        import jax
+
+        from img2latex_tpu.training.predictor import Predictor
+
+        ckpt, corpus, _ = trained_ckpt
+        stream = evaluate_checkpoint(
+            ckpt, data_dir=corpus, split="test", batch_size=4,
+            bucket_widths=[32, 48],
+        )
+
+        def boom(self, *a, **k):
+            raise jax.errors.JaxRuntimeError("INTERNAL: scoped vmem OOM (test)")
+
+        monkeypatch.setattr(Predictor, "predict_split_bucketed", boom)
+        out = evaluate_checkpoint(
+            ckpt, data_dir=corpus, split="test", batch_size=4,
+            bucket_widths=[32, 48],
+            config_overrides={"data.device_cache": True},
+        )
+        assert out["bucketed"] is True and "whole_split" not in out
+        assert out["bleu"] == pytest.approx(stream["bleu"], abs=1e-9)
+
     def test_max_batches_cap(self, trained_ckpt):
         ckpt, corpus, _ = trained_ckpt
         out = evaluate_checkpoint(
