@@ -90,10 +90,13 @@ class DecodeConfig:
     #   "margin_logp[:alpha]" — margin + alpha*logp per step (alpha defaults
     #     to 1.0), the single-accumulator composite from the r4 offline
     #     search (scripts/selective_signal_ab.py "composites")
-    # Measured on the CNN flagship (scripts/selective_signal_ab.py,
-    # artifacts/mathtext_hard_grid_v2/selective_signal_ab.json): margin
-    # captures 32/48/55/74% of beam's BLEU gain at frac 0.1/0.2/0.3/0.5 vs
-    # logp's 22/38/50/70% — margin is the default.  All signals run
+    # Measured across four checkpoints (scripts/selective_signal_ab.py;
+    # artifacts/mathtext_hard_{grid_v2,cap512,cap640,resnet_v2}/
+    # selective_signal_ab.json): margin beats logp and entropy at the
+    # operating fracs on every CNN checkpoint (48/44/39% capture at frac
+    # 0.2), and NO margin_logp alpha or rank-sum blend ever beats plain
+    # margin — margin is the measured default; the composite stays
+    # available for future checkpoints.  All signals run
     # in-kernel on the Pallas whole-decode paths (decode_step._decode_loop).
     selective_signal: str = "margin"
     # Stop the decode loop as soon as every sequence has emitted END — the
