@@ -141,13 +141,17 @@ def main() -> None:
             },
         ))
 
-    # 5. bucketed evaluate
+    # 5. bucketed evaluate (passes=2: when the checkpoint config carries
+    # data.device_cache the per-bucket whole-split route engages, and a
+    # second pass gives the artifact a measured resident window instead of
+    # a compile-inclusive-only rate — r5 lesson)
     if "buckets" not in skip:
         widths = [int(b) for b in args.buckets.split(",")]
         attempt("test_bucketed_greedy", results, lambda: evaluate_checkpoint(
             args.ckpt, data_dir=args.data_dir, split="test",
             bucket_widths=widths,
             output_dir=os.path.join(art, "predictions_bucketed"),
+            passes=2,
         ))
 
     # 6. device-cache evaluate — whole-split resident program (one dispatch
